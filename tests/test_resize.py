@@ -1,0 +1,74 @@
+"""Resize parity vs PyTorch ground truth (torch CPU is the oracle)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from transformerupscaler_tpu.ops import (
+    interpolate_bicubic,
+    resize,
+    resize_antialias_bilinear,
+)
+
+
+def _rand_img(rng, h, w, c=3, b=2):
+    return rng.random((b, h, w, c), dtype=np.float64).astype(np.float32)
+
+
+def _to_torch(x_nhwc):
+    return torch.from_numpy(np.ascontiguousarray(x_nhwc.transpose(0, 3, 1, 2)))
+
+
+def _from_torch(t):
+    return t.numpy().transpose(0, 2, 3, 1)
+
+
+SIZES = [
+    ((24, 40), (36, 60)),    # 1.5x up (the 720p->1080p shape class)
+    ((24, 40), (48, 80)),    # 2x up
+    ((16, 16), (48, 48)),    # 3x up
+    ((16, 16), (96, 96)),    # 6x up
+    ((48, 80), (36, 60)),    # downscale
+    ((31, 53), (47, 29)),    # odd sizes, mixed up/down
+    ((20, 20), (20, 20)),    # identity
+]
+
+
+@pytest.mark.parametrize("in_hw,out_hw", SIZES)
+def test_bicubic_matches_f_interpolate(rng, in_hw, out_hw):
+    x = _rand_img(rng, *in_hw)
+    want = _from_torch(
+        F.interpolate(_to_torch(x), size=out_hw, mode="bicubic", align_corners=False)
+    )
+    got = np.asarray(interpolate_bicubic(jnp.asarray(x), out_hw))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("in_hw,out_hw", SIZES)
+def test_bilinear_antialias_matches_torchvision_resize(rng, in_hw, out_hw):
+    x = _rand_img(rng, *in_hw)
+    want = _from_torch(
+        F.interpolate(_to_torch(x), size=out_hw, mode="bilinear",
+                      align_corners=False, antialias=True)
+    )
+    got = np.asarray(resize_antialias_bilinear(jnp.asarray(x), out_hw))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("in_hw,out_hw", SIZES)
+def test_bicubic_antialias_matches_torch(rng, in_hw, out_hw):
+    x = _rand_img(rng, *in_hw)
+    want = _from_torch(
+        F.interpolate(_to_torch(x), size=out_hw, mode="bicubic",
+                      align_corners=False, antialias=True)
+    )
+    got = np.asarray(resize(jnp.asarray(x), out_hw, method="bicubic", antialias=True))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_hwc_input_accepted(rng):
+    x = rng.random((24, 40, 3), dtype=np.float64).astype(np.float32)
+    out = resize(jnp.asarray(x), (36, 60))
+    assert out.shape == (36, 60, 3)

@@ -1,0 +1,44 @@
+"""Patch embedding / unembedding as pure MXU matmuls.
+
+The reference uses ``nn.Conv2d(C, D, kernel_size=8, stride=8)`` for patch
+embedding and ``nn.ConvTranspose2d(D, C, kernel_size=8, stride=8)`` for
+unembedding (models/WindowTransformer/model.py:208,218). Because kernel ==
+stride with no padding, both are exactly a non-overlapping block reshape plus
+one big GEMM — the TPU-native formulation: no conv lowering, one
+(B*Ht*Wt, ps*ps*C) x (ps*ps*C, D) matmul that saturates the MXU.
+
+Weight layouts (chosen so the torch converter is a pure transpose):
+  - embed kernel:   (ps, ps, C_in, D)   [torch Conv2d (D, C_in, ps, ps)]
+  - unembed kernel: (D, ps, ps, C_out)  [torch ConvTranspose2d (D, C_out, ps, ps)]
+"""
+
+import jax.numpy as jnp
+
+
+def patch_embed(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/ps, W/ps, D). H, W must be multiples of ps."""
+    ps = kernel.shape[0]
+    b, h, w, c = x.shape
+    ht, wt = h // ps, w // ps
+    patches = x.reshape(b, ht, ps, wt, ps, c).transpose(0, 1, 3, 2, 4, 5)
+    patches = patches.reshape(b, ht, wt, ps * ps * c)
+    wmat = kernel.reshape(ps * ps * c, -1)
+    out = jnp.einsum("bhwp,pd->bhwd", patches, wmat,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(x.dtype)
+    return out
+
+
+def patch_unembed(tokens: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """(B, Ht, Wt, D) -> (B, Ht*ps, Wt*ps, C)."""
+    d, ps, _, c = kernel.shape
+    b, ht, wt, _ = tokens.shape
+    wmat = kernel.reshape(d, ps * ps * c)
+    out = jnp.einsum("bhwd,dp->bhwp", tokens, wmat,
+                     preferred_element_type=jnp.float32).astype(tokens.dtype)
+    out = out.reshape(b, ht, wt, ps, ps, c).transpose(0, 1, 3, 2, 4, 5)
+    out = out.reshape(b, ht * ps, wt * ps, c)
+    if bias is not None:
+        out = out + bias.astype(tokens.dtype)
+    return out

@@ -1,0 +1,139 @@
+"""Separable image resizing as MXU matmuls, with exact PyTorch/PIL semantics.
+
+The reference leans on three resize flavors:
+  - ``F.interpolate(mode='bicubic', align_corners=False)`` (no antialias,
+    cubic a=-0.75, border clamp) for the global residual branches
+    (reference models/ResidualTransformer/model.py:125,160 and
+    models/WindowTransformer/model.py:241,301).
+  - ``torchvision.transforms.Resize`` on tensors (bilinear, antialias=True)
+    for the require_ratio squash (models/FastTransformer/model.py:324) and
+    train-loop mismatch squash (train.py:127-130).
+  - PIL's antialiased resize (bicubic a=-0.5) for dataset pipelines and the
+    bicubic baseline image (inference.py:83, data_class.py:61-68).
+
+TPU-first design: instead of gather-based sampling (slow, scalar-ish on TPU),
+each 1-D resampling pass is a dense (out_size, in_size) weight matrix built
+once on the host and applied as a matmul — separable resize becomes two GEMMs
+that ride the MXU, and XLA fuses the surrounding elementwise work.
+"""
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _cubic(x: np.ndarray, a: float) -> np.ndarray:
+    """Cubic convolution kernel (Keys).  a=-0.75 matches PyTorch's
+    non-antialiased bicubic; a=-0.5 matches PIL / torchvision-antialias."""
+    ax = np.abs(x)
+    ax2 = ax * ax
+    ax3 = ax2 * ax
+    inner = (a + 2.0) * ax3 - (a + 3.0) * ax2 + 1.0
+    outer = a * ax3 - 5.0 * a * ax2 + 8.0 * a * ax - 4.0 * a
+    return np.where(ax <= 1.0, inner, np.where(ax < 2.0, outer, 0.0))
+
+
+def _triangle(x: np.ndarray) -> np.ndarray:
+    return np.maximum(0.0, 1.0 - np.abs(x))
+
+
+def _matrix_no_antialias(in_size: int, out_size: int, method: str, a: float) -> np.ndarray:
+    """PyTorch ``F.interpolate(align_corners=False)`` semantics: fixed-width
+    kernel, source coords ``(i + 0.5) * in/out - 0.5``, indices clamped to the
+    border (out-of-range taps accumulate onto the edge pixel)."""
+    scale = in_size / out_size
+    i = np.arange(out_size, dtype=np.float64)
+    src = (i + 0.5) * scale - 0.5
+    base = np.floor(src).astype(np.int64)
+    t = src - base
+
+    if method == "bilinear":
+        offsets = np.array([0, 1])
+        weights = np.stack([1.0 - t, t], axis=1)
+    elif method == "bicubic":
+        offsets = np.array([-1, 0, 1, 2])
+        weights = np.stack([_cubic(t - off, a) for off in offsets], axis=1)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    idx = np.clip(base[:, None] + offsets[None, :], 0, in_size - 1)
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
+    np.add.at(mat, (np.repeat(i.astype(np.int64), len(offsets)), idx.ravel()), weights.ravel())
+    return mat
+
+
+def _matrix_antialias(in_size: int, out_size: int, method: str, a: float) -> np.ndarray:
+    """PIL / torchvision(antialias=True) semantics: kernel support widened by
+    the downscale factor, weights renormalized per output pixel."""
+    if method == "bilinear":
+        filt, base_support = _triangle, 1.0
+    elif method == "bicubic":
+        filt, base_support = (lambda x: _cubic(x, a)), 2.0
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = base_support * filterscale
+
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
+    for i in range(out_size):
+        center = (i + 0.5) * scale
+        xmin = max(int(center - support + 0.5), 0)
+        xmax = min(int(center + support + 0.5), in_size)
+        j = np.arange(xmin, xmax, dtype=np.float64)
+        w = filt((j + 0.5 - center) / filterscale)
+        s = w.sum()
+        if s != 0.0:
+            w = w / s
+        mat[i, xmin:xmax] = w
+    return mat
+
+
+@lru_cache(maxsize=None)
+def resize_matrix(in_size: int, out_size: int, method: str = "bicubic",
+                  antialias: bool = False, a: float | None = None) -> np.ndarray:
+    """1-D resampling matrix of shape (out_size, in_size), float32.
+
+    ``a`` defaults to -0.75 without antialias (PyTorch) and -0.5 with
+    antialias (PIL / torchvision).
+    """
+    if a is None:
+        a = -0.5 if antialias else -0.75
+    if in_size == out_size:
+        # Identity for every mode at scale 1 (matches both frameworks).
+        return np.eye(out_size, dtype=np.float32)
+    build = _matrix_antialias if antialias else _matrix_no_antialias
+    return build(in_size, out_size, method, a).astype(np.float32)
+
+
+def resize(x: jnp.ndarray, out_hw: tuple[int, int], method: str = "bicubic",
+           antialias: bool = False, a: float | None = None) -> jnp.ndarray:
+    """Resize NHWC (or HWC) images to ``out_hw`` via two MXU matmuls."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    _, h, w, _ = x.shape
+    oh, ow = out_hw
+    dtype = x.dtype
+    wh = jnp.asarray(resize_matrix(h, oh, method, antialias, a), dtype=dtype)
+    ww = jnp.asarray(resize_matrix(w, ow, method, antialias, a), dtype=dtype)
+    if oh != h:
+        x = jnp.einsum("oh,bhwc->bowc", wh, x, preferred_element_type=jnp.float32)
+    if ow != w:
+        x = jnp.einsum("pw,bhwc->bhpc", ww, x, preferred_element_type=jnp.float32)
+    out = x.astype(dtype)
+    return out[0] if squeeze else out
+
+
+def interpolate_bicubic(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Parity with ``F.interpolate(x, size, mode='bicubic',
+    align_corners=False)`` (reference ResidualTransformer/model.py:125)."""
+    return resize(x, out_hw, method="bicubic", antialias=False)
+
+
+def resize_antialias_bilinear(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Parity with ``torchvision.transforms.Resize(size)`` applied to tensors
+    (bilinear, antialias=True; reference FastTransformer/model.py:324)."""
+    return resize(x, out_hw, method="bilinear", antialias=True)
