@@ -1,0 +1,122 @@
+"""Model-level tests: forward shapes, parameter-count parity with the
+reference's measured sizes (SURVEY.md §6: Window 2,763,651 / Residual
+3,210,051 / Fast 6,447,379), and behavioral invariants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import transformerupscaler_tpu as tux
+
+
+def _param_count(model, x, **kw):
+    shapes = jax.eval_shape(lambda r, v: model.init(r, v, **kw),
+                            jax.random.PRNGKey(0), x)
+    return sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
+
+
+def _spec(h, w, c=3, b=1):
+    return jax.ShapeDtypeStruct((b, h, w, c), jnp.float32)
+
+
+def test_param_counts_match_reference():
+    fast = tux.get_model("FastTransformer")
+    window = tux.get_model("WindowTransformer")
+    residual = tux.get_model("ResidualTransformer")
+    bicubic = tux.get_model("BicubicInterpolation")
+    assert _param_count(fast, _spec(96, 96), upscale_factor=2) == 6_447_379
+    assert _param_count(window, _spec(96, 96)) == 2_763_651
+    assert _param_count(residual, _spec(720, 1280)) == 3_210_051
+    assert _param_count(bicubic, _spec(96, 96)) == 0
+
+
+def test_registry_lists_all_variants():
+    assert set(tux.list_models()) >= {
+        "BicubicInterpolation", "FastTransformer",
+        "ResidualTransformer", "WindowTransformer",
+    }
+
+
+@pytest.mark.parametrize("scale", [2, 3, 4, 6])
+def test_fast_transformer_scales(scale):
+    # Reference smoke block: random 100x100 at each scale
+    # (FastTransformer/model.py:330-334 uses 6x).
+    model = tux.get_model("FastTransformer")
+    x = jnp.zeros((1, 40, 40, 3), jnp.float32)
+    params = jax.eval_shape(
+        lambda r, v: model.init(r, v, upscale_factor=scale),
+        jax.random.PRNGKey(0), x)
+    out = jax.eval_shape(
+        lambda p, v: model.apply(p, v, upscale_factor=scale), params, x)
+    assert out.shape == (1, 40 * scale, 40 * scale, 3)
+
+
+def test_fast_transformer_forward_runs():
+    model = tux.get_model("FastTransformer")
+    x = jnp.asarray(np.random.default_rng(0).random((1, 40, 48, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, upscale_factor=2)
+    out = model.apply(params, x, upscale_factor=2)
+    assert out.shape == (1, 80, 96, 3)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_fast_transformer_res_out_squash():
+    # res_out path: scale = ceil(1080/720) = 2, then squash 80x96 -> 60x72.
+    model = tux.get_model("FastTransformer")
+    x = jnp.zeros((1, 40, 48, 3), jnp.float32)
+    params = jax.eval_shape(
+        lambda r, v: model.init(r, v, res_out=(60, 72), require_ratio=True),
+        jax.random.PRNGKey(0), x)
+    out = jax.eval_shape(
+        lambda p, v: model.apply(p, v, res_out=(60, 72), require_ratio=True),
+        params, x)
+    assert out.shape == (1, 60, 72, 3)
+
+
+def test_window_transformer_forward_runs():
+    model = tux.get_model("WindowTransformer")
+    x = jnp.asarray(np.random.default_rng(0).random((1, 64, 96, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, res_out=(96, 144))
+    out = model.apply(params, x, res_out=(96, 144))
+    assert out.shape == (1, 96, 144, 3)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_window_transformer_odd_sizes():
+    # Non-divisible extents: downsample -> floor-crop patch grid -> crop-to-min
+    # skip (reference WindowTransformer/model.py:289-294).
+    model = tux.get_model("WindowTransformer")
+    x = jnp.zeros((1, 50, 70, 3), jnp.float32)
+    params = jax.eval_shape(lambda r, v: model.init(r, v, res_out=(100, 140)),
+                            jax.random.PRNGKey(0), x)
+    out = jax.eval_shape(lambda p, v: model.apply(p, v, res_out=(100, 140)),
+                         params, x)
+    assert out.shape == (1, 100, 140, 3)
+
+
+def test_residual_transformer_shape():
+    model = tux.get_model("ResidualTransformer")
+    x = jnp.zeros((1, 720, 1280, 3), jnp.float32)
+    params = jax.eval_shape(lambda r, v: model.init(r, v), jax.random.PRNGKey(0), x)
+    out = jax.eval_shape(lambda p, v: model.apply(p, v), params, x)
+    assert out.shape == (1, 1080, 1920, 3)
+
+
+def test_residual_transformer_rejects_wrong_geometry():
+    model = tux.get_model("ResidualTransformer")
+    x = jnp.zeros((1, 96, 96, 3), jnp.float32)
+    with pytest.raises(ValueError, match="pos_embed is baked"):
+        jax.eval_shape(lambda r, v: model.init(r, v), jax.random.PRNGKey(0), x)
+
+
+def test_dropout_only_active_when_not_deterministic():
+    model = tux.get_model("FastTransformer")
+    x = jnp.asarray(np.random.default_rng(1).random((1, 16, 16, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, upscale_factor=2)
+    a = model.apply(params, x, upscale_factor=2, deterministic=True)
+    b = model.apply(params, x, upscale_factor=2, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = model.apply(params, x, upscale_factor=2, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(1)})
+    assert not np.array_equal(np.asarray(a), np.asarray(c))

@@ -1,0 +1,152 @@
+"""Shared model building blocks: window attention layer, transformer block,
+window trunk, geometry resolution.
+
+Parity targets are the reference's WindowAttention / WindowTransformerBlock
+(models/WindowTransformer/model.py:63-170) and the token-grid pad/partition/
+reverse/unpad dance (models/FastTransformer/model.py:272-297). All shape
+logic here is static Python executed at trace time — every distinct
+(input geometry, scale) pair compiles once and is cached by jit.
+"""
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from transformerupscaler_tpu.ops.attention import window_attention
+from transformerupscaler_tpu.ops.windows import window_partition, window_reverse
+
+# Explicit-parameter initializers (params stay fp32; compute dtype is cast at use).
+_dense_init = nn.initializers.lecun_normal()
+_bias_init = nn.initializers.zeros
+_table_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def resolve_geometry(in_hw: tuple[int, int], res_out, upscale_factor):
+    """Reference FastTransformer/model.py:244-248: ``upscale_factor`` wins and
+    redefines res_out; otherwise scale = ceil(max(res_out / in))."""
+    h, w = in_hw
+    if upscale_factor is not None:
+        res_out = (h * upscale_factor, w * upscale_factor)
+    else:
+        upscale_factor = math.ceil(max(res_out[0] / h, res_out[1] / w))
+    return tuple(res_out), int(upscale_factor)
+
+
+class ConvLayer(nn.Module):
+    """3x3-style conv with explicit HWIO kernel param (torch ``padding=1``
+    output semantics via explicit padding)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    use_bias: bool = True
+    relu: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from transformerupscaler_tpu.ops.conv import conv2d
+
+        k = self.param(
+            "kernel", _dense_init,
+            (self.kernel_size, self.kernel_size, x.shape[-1], self.features))
+        b = self.param("bias", _bias_init, (self.features,)) if self.use_bias else None
+        return conv2d(x.astype(self.dtype), k, b, stride=self.stride,
+                      padding=self.padding, relu=self.relu)
+
+
+class WindowAttentionLayer(nn.Module):
+    """Window MSA with relative position bias; raw params so the same weights
+    feed either the XLA or the fused Pallas implementation."""
+
+    dim: int
+    window_size: int
+    num_heads: int
+    dropout: float = 0.0
+    impl: str = "xla"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        d = self.dim
+        qkv_w = self.param("qkv_kernel", _dense_init, (d, 3 * d))
+        qkv_b = self.param("qkv_bias", _bias_init, (3 * d,))
+        proj_w = self.param("proj_kernel", _dense_init, (d, d))
+        proj_b = self.param("proj_bias", _bias_init, (d,))
+        table = self.param(
+            "bias_table", _table_init,
+            ((2 * self.window_size - 1) ** 2, self.num_heads),
+        )
+        rng = None
+        if not deterministic and self.dropout > 0.0:
+            rng = self.make_rng("dropout")
+        return window_attention(
+            x.astype(self.dtype), qkv_w.astype(self.dtype), qkv_b, proj_w.astype(self.dtype),
+            proj_b, table, num_heads=self.num_heads, window_size=self.window_size,
+            dropout_rate=self.dropout, deterministic=deterministic, rng=rng,
+            impl=self.impl,
+        )
+
+
+class WindowBlock(nn.Module):
+    """Pre-LN attention + pre-LN 4x GELU MLP with residuals.
+
+    Parity: reference WindowTransformerBlock (WindowTransformer/model.py:133-170)
+    — LayerNorm eps 1e-5 and exact (erf) GELU to match torch defaults.
+    """
+
+    dim: int
+    window_size: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dropout: float = 0.1
+    impl: str = "xla"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        hidden = int(self.dim * self.mlp_ratio)
+        attn = WindowAttentionLayer(
+            self.dim, self.window_size, self.num_heads, self.dropout,
+            impl=self.impl, dtype=self.dtype, name="attn",
+        )
+        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
+        fc1 = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")
+        fc2 = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")
+        drop = nn.Dropout(self.dropout, name="mlp_drop")
+
+        x = x + attn(norm1(x), deterministic=deterministic)
+        y = fc2(jax.nn.gelu(fc1(norm2(x)), approximate=False))
+        y = drop(y, deterministic=deterministic)
+        return x + y
+
+
+def run_window_trunk(tokens: jnp.ndarray, blocks, window_size: int,
+                     deterministic: bool = True) -> jnp.ndarray:
+    """tokens: (B, Ht, Wt, D) -> same shape, after zero-padding the grid to a
+    window multiple, windowed attention blocks, and unpadding.
+
+    Parity: reference FastTransformer/model.py:272-297.
+    """
+    b, ht, wt, d = tokens.shape
+    ws = window_size
+    pad_b = (ws - ht % ws) % ws
+    pad_r = (ws - wt % ws) % ws
+    if pad_b or pad_r:
+        tokens = jnp.pad(tokens, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+    hp, wp = ht + pad_b, wt + pad_r
+
+    win = window_partition(tokens, ws)  # (B, nW, ws*ws, D)
+    n_win = win.shape[1]
+    win = win.reshape(b * n_win, ws * ws, d)
+    for block in blocks:
+        win = block(win, deterministic=deterministic)
+    win = win.reshape(b, n_win, ws * ws, d)
+    tokens = window_reverse(win, ws, hp, wp)
+    if pad_b or pad_r:
+        tokens = tokens[:, :ht, :wt, :]
+    return tokens

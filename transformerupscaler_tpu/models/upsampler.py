@@ -1,0 +1,53 @@
+"""Multi-scale sub-pixel Upsampler.
+
+Parity: reference models/FastTransformer/utils.py:43-98 — a bank of
+conv + PixelShuffle stages per scale in {2, 3, 4, 6}, built once, selected by
+the (static) scale at call time. Scale 2 and 4 compose log2(scale) stages of
+conv(n->4n)+shuffle(2); 3 uses conv(n->9n)+shuffle(3); 6 uses
+conv(n->36n)+shuffle(6).
+
+All branches' params are declared in ``setup`` so a freshly initialized model
+carries every scale (matching the reference checkpoint layout) even when init
+traces only one geometry.
+"""
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from transformerupscaler_tpu.ops.conv import conv2d
+from transformerupscaler_tpu.ops.pixel_shuffle import pixel_shuffle
+from transformerupscaler_tpu.resolutions import VALID_SCALES
+
+_kernel_init = nn.initializers.lecun_normal()
+_bias_init = nn.initializers.zeros
+
+
+# scale -> list of (channel multiplier, shuffle factor) stages
+_STAGES = {2: [(4, 2)], 3: [(9, 3)], 4: [(4, 2), (4, 2)], 6: [(36, 6)]}
+
+
+class Upsampler(nn.Module):
+    n_feats: int
+    valid_scales: tuple = VALID_SCALES
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        params = {}
+        for scale in self.valid_scales:
+            for i, (mult, _) in enumerate(_STAGES[scale]):
+                n = self.n_feats
+                params[f"s{scale}_c{i}_kernel"] = self.param(
+                    f"s{scale}_c{i}_kernel", _kernel_init, (3, 3, n, mult * n))
+                params[f"s{scale}_c{i}_bias"] = self.param(
+                    f"s{scale}_c{i}_bias", _bias_init, (mult * n,))
+        self._params = params
+
+    def __call__(self, x: jnp.ndarray, scale: int) -> jnp.ndarray:
+        if scale not in self.valid_scales:
+            raise ValueError(f"Requested scale={scale} was not built.")
+        for i, (_, shuffle) in enumerate(_STAGES[scale]):
+            k = self._params[f"s{scale}_c{i}_kernel"]
+            b = self._params[f"s{scale}_c{i}_bias"]
+            x = conv2d(x, k, b, stride=1, padding=1)
+            x = pixel_shuffle(x, shuffle)
+        return x
