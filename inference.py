@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Single-image upscaling CLI with quality scoring.
+
+CLI parity with the reference inference.py:148-170 (same flags, defaults, and
+output report). Differences by design: inference is always jit-compiled (the
+TPU analogue of --compile, which is accepted as a no-op), and --quantize
+applies int8 weight quantization over the linear layers (reference
+inference.py:111-113 scope).
+
+Usage:
+    python inference.py --image_path img.png --model FastTransformer \
+        --res_in 720 --scale 3 [--quantize]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+from PIL import Image
+
+from transformerupscaler_tpu.infer_lib import UpscalerEngine
+from transformerupscaler_tpu.metrics import psnr, ssim
+from transformerupscaler_tpu.resolutions import resolutions
+
+
+def main(args):
+    if args.scale not in [2, 3, 4, 6]:
+        print(f"Resolution {args.scale} not found in supported output resolutions.")
+        sys.exit(-1)
+    if args.res_in:
+        if args.res_in not in resolutions:
+            print(f"Resolution {args.res_in} not found in supported input resolutions.")
+            sys.exit(-1)
+        res_in = resolutions[args.res_in]
+    else:
+        res_in = None
+
+    import jax
+
+    print(f"Running inference on device: {jax.devices()[0]}")
+
+    # Load input image; optionally downscale to res_in (bilinear, like
+    # torchvision Resize on PIL input).
+    image = Image.open(args.image_path).convert("RGB")
+    if res_in is not None:
+        lr_image = image.resize((res_in[1], res_in[0]), Image.BILINEAR)
+    else:
+        lr_image = image
+    lr = np.asarray(lr_image, dtype=np.float32) / 255.0
+
+    lr_image.save(args.inp)
+    print(f"Downscaled image saved to: {args.inp}")
+
+    # Bicubic baseline (PIL BICUBIC, reference inference.py:82-85).
+    bicubic_image = lr_image.resize(
+        (lr.shape[1] * args.scale, lr.shape[0] * args.scale), Image.BICUBIC)
+    bicubic_image.save("bicubic.jpg")
+    print("Bicubic image saved to: bicubic.jpg")
+
+    engine = UpscalerEngine(args.model, checkpoint_dir=args.checkpoint_dir,
+                            quantize=args.quantize)
+    if engine.checkpoint_path:
+        print(f"Loading checkpoint: {engine.checkpoint_path}")
+    else:
+        print(f"No checkpoint found for {args.model}; using random init")
+    if args.quantize:
+        print("Applied int8 weight quantization to linear layers.")
+
+    out = engine.upscale(lr, upscale_factor=args.scale)
+    n_params = engine.param_count()
+
+    out_img = Image.fromarray((np.clip(out, 0, 1) * 255).astype(np.uint8))
+    out_img.save(args.out)
+    print(f"Upscaled image saved to: {args.out}")
+
+    # Score vs the original (reference inference.py:128-145: compare at the
+    # prediction's resolution; the low-res input is upscaled back as the
+    # bicubic control arm).
+    original = np.asarray(Image.open(args.image_path).convert("RGB"),
+                          dtype=np.float32) / 255.0
+    pred = np.asarray(Image.open(args.out).convert("RGB"), dtype=np.float32) / 255.0
+    if original.shape[:2] != pred.shape[:2]:
+        original = np.asarray(
+            Image.open(args.image_path).convert("RGB").resize(
+                (pred.shape[1], pred.shape[0]), Image.BILINEAR),
+            dtype=np.float32) / 255.0
+    lowres_up = np.asarray(
+        Image.open(args.inp).convert("RGB").resize(
+            (original.shape[1], original.shape[0]), Image.BILINEAR),
+        dtype=np.float32) / 255.0
+
+    model_ssim_val = ssim(original, pred, data_range=1, channel_axis=-1)
+    model_psnr_val = psnr(original, pred, data_range=1)
+    bicubic_ssim_val = ssim(original, lowres_up, data_range=1, channel_axis=-1)
+    bicubic_psnr_val = psnr(original, lowres_up, data_range=1)
+
+    print(f"Bicubic Scores:\tSSIM: {bicubic_ssim_val:.4f}, PSNR: {bicubic_psnr_val:.2f} dB")
+    print(f"Model Scores:\tSSIM: {model_ssim_val:.4f}, PSNR: {model_psnr_val:.2f} dB")
+    print(f"Model has {n_params} trainable parameters")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(
+        description="Inference script for the TPU Transformer upscaler with "
+                    "dynamic input resolution, quantization, and jit compilation"
+    )
+    parser.add_argument("--image_path", type=str, default="images/training_set/image_100.jpg",
+                        help="Path to the input image file")
+    parser.add_argument("--model", type=str, default="FastTransformer",
+                        help="Model name from the registry")
+    parser.add_argument("--checkpoint_dir", type=str, default=None,
+                        help="Directory containing model checkpoints (default: models/{model}/checkpoints/)")
+    parser.add_argument("--scale", type=int, default=3,
+                        help="Output resolution scale (2, 3, 4, 6)")
+    parser.add_argument("--res_in", type=str, default=None,
+                        help="Input resolution key (None for no downscaling)")
+    parser.add_argument("--inp", type=str, default="input.jpg",
+                        help="Output file path for the downscaled input image")
+    parser.add_argument("--out", type=str, default="model.jpg",
+                        help="Output file path for the upscaled output image")
+    parser.add_argument("--compile", action="store_true",
+                        help="Accepted for reference-CLI parity; jit is always on")
+    parser.add_argument("--quantize", action="store_true",
+                        help="Enable int8 quantization of linear layers")
+    main(parser.parse_args())

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Throughput harness: per-image inference timing to 4K.
+
+CLI parity with the reference speed_test.py:78-88 (same flags; same report:
+summed per-image inference time, overall wall-clock, average per image; same
+workload: every dataset item upscaled to res_out=(2160, 3840)).
+
+TPU notes: the first forward per geometry compiles — compile time is reported
+separately and excluded from per-image numbers (the reference's eager timings
+have no compile either); device timing uses block_until_ready.
+"""
+
+import argparse
+import time
+
+import jax
+
+from transformerupscaler_tpu.data.datasets import HighresImageDataset
+from transformerupscaler_tpu.infer_lib import UpscalerEngine
+
+
+def main(args):
+    print(f"Running speed test on device: {jax.devices()[0]}")
+
+    engine = UpscalerEngine(args.model, checkpoint_dir=args.checkpoint_dir)
+    if engine.checkpoint_path:
+        print(f"Loading checkpoint from: {engine.checkpoint_path}")
+    else:
+        print(f"No checkpoint found for {args.model}; using random init")
+
+    dataset = HighresImageDataset(args.data_dir)
+    total_images = len(dataset)
+    print(f"Processing {total_images} images...")
+
+    res_out = (2160, 3840)
+    total_inference_time = 0.0
+    compile_time = 0.0
+    seen_geometries = set()
+
+    overall_start = time.time()
+    for lr, _ in dataset:
+        geom = lr.shape[:2]
+        if geom not in seen_geometries:
+            compile_time += engine.warmup(geom, res_out=res_out)
+            seen_geometries.add(geom)
+        start = time.time()
+        out = engine.upscale(lr, res_out=res_out, device_out=True)
+        jax.block_until_ready(out)
+        total_inference_time += time.time() - start
+    overall_time = time.time() - overall_start
+
+    average = total_inference_time / total_images if total_images else 0.0
+    print(f"Compile time (excluded from per-image stats): {compile_time:.4f} seconds")
+    print(f"Total inference time (sum over images): {total_inference_time:.4f} seconds")
+    print(f"Overall wall-clock time: {overall_time:.4f} seconds")
+    print(f"Average inference time per image: {average:.4f} seconds")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(
+        description="Speed test for TPU Transformer upscaler inference")
+    parser.add_argument("--data_dir", type=str, required=True,
+                        help="Directory containing images for inference")
+    parser.add_argument("--model", type=str, default="FastTransformer",
+                        help="Model name from the registry")
+    parser.add_argument("--checkpoint_dir", type=str, default=None,
+                        help="Directory containing model checkpoints (default: models/{model}/checkpoints/)")
+    main(parser.parse_args())

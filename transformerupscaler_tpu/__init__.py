@@ -15,5 +15,15 @@ points. This package rebuilds every component TPU-first:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("TUX_PLATFORM"):
+    # Env-var device pinning (e.g. TUX_PLATFORM=cpu for tests/debug). The
+    # container sitecustomize force-registers the TPU platform, so this must
+    # go through jax.config, not JAX_PLATFORMS.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["TUX_PLATFORM"])
+
 from transformerupscaler_tpu.resolutions import resolutions  # noqa: F401
 from transformerupscaler_tpu.registry import get_model, list_models  # noqa: F401

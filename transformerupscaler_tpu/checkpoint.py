@@ -1,0 +1,71 @@
+"""Checkpointing with the reference's ``model_epoch_{n}`` discovery semantics,
+Orbax underneath.
+
+Parity: reference tools/utils.py:4-22 (latest = max epoch parsed from the
+filename) and train.py:152-156 (save every ``checkpoint_interval`` epochs into
+``models/{model}/checkpoints/``). Improvements over the reference: optimizer
+state is saved alongside params (the reference silently reset Adam moments on
+resume), and legacy ``.pth`` torch checkpoints load transparently through the
+converter.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+_EPOCH_RE = re.compile(r"model_epoch_(\d+)(?:\.pth)?$")
+
+
+def default_checkpoint_dir(model_name: str, root: str = ".") -> str:
+    return os.path.join(root, "models", model_name, "checkpoints")
+
+
+def get_latest_checkpoint(checkpoint_dir: str) -> tuple[str, int]:
+    """Return (path, epoch) of the highest-epoch checkpoint: either an Orbax
+    directory ``model_epoch_{n}`` or a legacy torch file ``model_epoch_{n}.pth``."""
+    entries = []
+    for f in os.listdir(checkpoint_dir):
+        m = _EPOCH_RE.match(f)
+        if m:
+            entries.append((int(m.group(1)), f))
+    if not entries:
+        raise FileNotFoundError(
+            f"No checkpoint files found in directory: {checkpoint_dir}")
+    epoch, name = max(entries)
+    return os.path.join(checkpoint_dir, name), epoch
+
+
+def save_checkpoint(checkpoint_dir: str, epoch: int, params, opt_state=None) -> str:
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = os.path.abspath(os.path.join(checkpoint_dir, f"model_epoch_{epoch}"))
+    payload = {"params": params}
+    if opt_state is not None:
+        payload["opt_state"] = opt_state
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, payload, force=True)
+    return path
+
+
+def load_checkpoint(path: str, model_name: str | None = None):
+    """Load a checkpoint -> dict with at least {'params': ...}.
+
+    ``.pth`` files route through the torch converter (``model_name`` required).
+    """
+    if path.endswith(".pth"):
+        if model_name is None:
+            raise ValueError("model_name is required to convert a .pth checkpoint")
+        from transformerupscaler_tpu.tools.torch_convert import load_pth
+
+        return load_pth(path, model_name)
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path))
+    return restored
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

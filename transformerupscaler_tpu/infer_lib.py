@@ -1,0 +1,132 @@
+"""Inference engine: jit-cached, geometry-bucketed upscaling.
+
+The reference runs eager per-image forwards (inference.py:117-122,
+speed_test.py:60-67). On TPU every distinct (input geometry, res_out, scale,
+require_ratio) tuple is one compiled executable; this engine jits each
+geometry once and reuses it — the jit cache is the TPU-native analogue of
+``torch.compile`` (the reference's --compile flag maps to "always on").
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transformerupscaler_tpu.checkpoint import (
+    default_checkpoint_dir,
+    get_latest_checkpoint,
+    load_checkpoint,
+    param_count,
+)
+from transformerupscaler_tpu.registry import get_model
+
+
+class UpscalerEngine:
+    """Wraps a registry model with checkpoint loading and a per-geometry jit
+    cache.
+
+    Images are NHWC (or HWC) float in [0, 1]; uint8 input is normalized.
+    """
+
+    def __init__(self, model_name: str, checkpoint_dir: str | None = None,
+                 params=None, dtype=jnp.float32, attn_impl: str = "xla",
+                 quantize: bool = False, root: str = ".", donate: bool = False):
+        self.model_name = model_name
+        self.model = get_model(model_name, dtype=dtype, attn_impl=attn_impl)
+        self.dtype = dtype
+        self._donate = donate
+        self._cache: dict = {}
+
+        if params is None:
+            ckpt_dir = checkpoint_dir or default_checkpoint_dir(model_name, root)
+            try:
+                path, self.epoch = get_latest_checkpoint(ckpt_dir)
+                self.checkpoint_path = path
+                restored = load_checkpoint(path, model_name)
+                params = {"params": restored["params"]}
+            except FileNotFoundError:
+                self.checkpoint_path = None
+                self.epoch = 0
+                params = None  # random init at first call
+        self._params = params
+
+        if quantize and self._params is not None:
+            from transformerupscaler_tpu.ops.quant import quantize_linear_params
+
+            self._params = quantize_linear_params(self._params)
+
+    # ------------------------------------------------------------------
+    def _ensure_params(self, x: jnp.ndarray, call_kwargs: dict):
+        if self._params is None:
+            self._params = self.model.init(jax.random.PRNGKey(0), x, **call_kwargs)
+
+    def param_count(self) -> int:
+        if self._params is None:
+            return 0
+        return param_count(self._params)
+
+    def _fn(self, key):
+        if key not in self._cache:
+            res_out, upscale_factor, require_ratio = key
+
+            def apply(params, x):
+                kwargs = {}
+                if res_out is not None:
+                    kwargs["res_out"] = res_out
+                if upscale_factor is not None:
+                    kwargs["upscale_factor"] = upscale_factor
+                if self.model_name != "BicubicInterpolation":
+                    kwargs["require_ratio"] = require_ratio
+                return self.model.apply(params, x, **kwargs)
+
+            donate = (1,) if self._donate else ()
+            self._cache[key] = jax.jit(apply, donate_argnums=donate)
+        return self._cache[key]
+
+    def _normalize_call(self, x_shape, res_out, upscale_factor):
+        # Bicubic takes only res_out (reference BicubicInterpolation/model.py:17);
+        # resolve a scale to a concrete res_out for it.
+        if self.model_name == "BicubicInterpolation" and upscale_factor is not None:
+            h, w = x_shape[1:3]
+            return (h * upscale_factor, w * upscale_factor), None
+        return res_out, upscale_factor
+
+    def upscale(self, image: np.ndarray, res_out=None, upscale_factor=None,
+                require_ratio: bool = True, device_out: bool = False):
+        """Upscale HWC or NHWC image(s); returns the same rank back."""
+        squeeze = image.ndim == 3
+        x = np.asarray(image)
+        if x.dtype == np.uint8:
+            x = x.astype(np.float32) / 255.0
+        if squeeze:
+            x = x[None]
+        xj = jnp.asarray(x, dtype=self.dtype)
+
+        res_out, upscale_factor = self._normalize_call(xj.shape, res_out, upscale_factor)
+        key = (tuple(res_out) if res_out is not None else None,
+               upscale_factor, require_ratio)
+        init_kwargs = {}
+        if res_out is not None:
+            init_kwargs["res_out"] = tuple(res_out)
+        if upscale_factor is not None:
+            init_kwargs["upscale_factor"] = upscale_factor
+        self._ensure_params(xj, init_kwargs)
+
+        out = self._fn(key)(self._params, xj)
+        if device_out:
+            return out[0] if squeeze else out
+        out = np.asarray(jax.device_get(out)).astype(np.float32)
+        return out[0] if squeeze else out
+
+    def warmup(self, in_hw: tuple[int, int], res_out=None, upscale_factor=None,
+               require_ratio: bool = True, batch: int = 1) -> float:
+        """Compile a geometry ahead of use; returns compile seconds."""
+        x = np.zeros((batch, *in_hw, 3), np.float32)
+        t0 = time.perf_counter()
+        y = self.upscale(x, res_out=res_out, upscale_factor=upscale_factor,
+                         require_ratio=require_ratio, device_out=True)
+        jax.block_until_ready(y)
+        return time.perf_counter() - t0

@@ -35,14 +35,24 @@ def _ensure_builtin_loaded():
     importlib.import_module("transformerupscaler_tpu.models")
 
 
-def get_model(name: str):
-    """Return an instantiated default-config model for ``name``."""
+def get_model(name: str, **overrides):
+    """Return an instantiated model for ``name``. ``overrides`` are module
+    fields (e.g. dtype, attn_impl); unknown fields are ignored so shared
+    settings can be passed to every variant (Bicubic has no fields)."""
     _ensure_builtin_loaded()
     if name not in _REGISTRY:
         raise KeyError(
             f"Unknown model {name!r}; available: {sorted(_REGISTRY)}"
         )
-    return _REGISTRY[name].factory()
+    factory = _REGISTRY[name].factory
+    if overrides:
+        import dataclasses
+
+        if dataclasses.is_dataclass(factory):
+            fields = {f.name for f in dataclasses.fields(factory)}
+            overrides = {k: v for k, v in overrides.items() if k in fields}
+        return factory(**overrides)
+    return factory()
 
 
 def list_models() -> list[str]:
