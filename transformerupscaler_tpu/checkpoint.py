@@ -51,10 +51,12 @@ def save_checkpoint(checkpoint_dir: str, epoch: int, params, opt_state=None) -> 
     return path
 
 
-def load_checkpoint(path: str, model_name: str | None = None):
+def load_checkpoint(path: str, model_name: str | None = None, template=None):
     """Load a checkpoint -> dict with at least {'params': ...}.
 
     ``.pth`` files route through the torch converter (``model_name`` required).
+    ``template`` (optional pytree of the same structure) restores custom node
+    types — e.g. optax NamedTuple states — instead of raw dicts.
     """
     if path.endswith(".pth"):
         if model_name is None:
@@ -63,8 +65,10 @@ def load_checkpoint(path: str, model_name: str | None = None):
 
         return load_pth(path, model_name)
     ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(os.path.abspath(path))
-    return restored
+    if template is not None:
+        return ckptr.restore(os.path.abspath(path),
+                             args=ocp.args.PyTreeRestore(item=template))
+    return ckptr.restore(os.path.abspath(path))
 
 
 def param_count(params) -> int:

@@ -45,14 +45,14 @@ def _resize_pil(img: Image.Image, hw: tuple[int, int]) -> np.ndarray:
 class HighresImageDataset:
     """Local directory of .png images, expanded into the 10 scale pairs."""
 
-    def __init__(self, image_dir: str, length: int = 200):
+    def __init__(self, image_dir: str, length: int = 200, scale_pairs=None):
         self.image_dir = image_dir
         self.image_files = sorted(
             os.path.join(image_dir, f)
             for f in os.listdir(image_dir)
             if f.lower().endswith(".png")
         )
-        self.scale_pairs = list(SCALE_PAIRS)
+        self.scale_pairs = list(scale_pairs if scale_pairs is not None else SCALE_PAIRS)
         self._length = length
 
     def __len__(self) -> int:

@@ -59,6 +59,9 @@ def window_attention(
                      preferred_element_type=jnp.float32).astype(x.dtype) + qkv_b.astype(x.dtype)
     qkv = qkv.reshape(b, n, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, N, hd)
+    from transformerupscaler_tpu.parallel.context import maybe_shard_heads
+
+    q, k, v = maybe_shard_heads(q), maybe_shard_heads(k), maybe_shard_heads(v)
     q = q * (hd ** -0.5)
     attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
     bias = gather_relative_bias(bias_table.astype(jnp.float32), window_size)
@@ -100,6 +103,9 @@ def multihead_attention(
                      preferred_element_type=jnp.float32).astype(x.dtype) + in_b.astype(x.dtype)
     qkv = qkv.reshape(b, n, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]
+    from transformerupscaler_tpu.parallel.context import maybe_shard_heads
+
+    q, k, v = maybe_shard_heads(q), maybe_shard_heads(k), maybe_shard_heads(v)
     q = q * (hd ** -0.5)
     attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
     attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)

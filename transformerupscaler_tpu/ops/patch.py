@@ -20,6 +20,10 @@ def patch_embed(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = 
     ps = kernel.shape[0]
     b, h, w, c = x.shape
     ht, wt = h // ps, w // ps
+    if ht == 0 or wt == 0:
+        raise ValueError(
+            f"Input {h}x{w} is smaller than the patch size {ps}; the token "
+            f"grid would be empty (the reference Conv2d errors here too)")
     patches = x.reshape(b, ht, ps, wt, ps, c).transpose(0, 1, 3, 2, 4, 5)
     patches = patches.reshape(b, ht, wt, ps * ps * c)
     wmat = kernel.reshape(ps * ps * c, -1)
