@@ -53,12 +53,17 @@ class FastTransformer(nn.Module):
         # Branch A: learned upscale of encoder features to RGB.
         self.up1 = Upsampler(bc, dtype=self.dtype)
         # BasicConv(bc, 3, 3, 1, 1): bias=False, ReLU=True (utils.py:13-28).
-        self.up1_conv = ConvLayer(self.in_channels, use_bias=False, relu=True,
-                                  dtype=self.dtype)
+        # Raw params so the conv can be commuted through the pixel shuffle.
+        self.up1_conv_kernel = self.param(
+            "up1_conv_kernel", _dense_init, (3, 3, bc, self.in_channels))
         # Branch B tail: learned upscale of the predicted residual.
         self.final_upscale = Upsampler(self.in_channels, dtype=self.dtype)
         # default_conv(3, 3, 3): bias=True, no activation (utils.py:6-10).
-        self.final_upscale_conv = ConvLayer(self.in_channels, dtype=self.dtype)
+        self.final_upscale_conv_kernel = self.param(
+            "final_upscale_conv_kernel", _dense_init,
+            (3, 3, self.in_channels, self.in_channels))
+        self.final_upscale_conv_bias = self.param(
+            "final_upscale_conv_bias", _bias_init, (self.in_channels,))
 
         self.patch_embed_kernel = self.param(
             "patch_embed_kernel", _dense_init, (ps, ps, bc, td))
@@ -90,8 +95,12 @@ class FastTransformer(nn.Module):
         feat_pad = (jnp.pad(feat, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
                             mode="reflect") if pad_h or pad_w else feat)
 
-        # Branch A on the unpadded features (:263-265).
-        upscaled_input = self.up1_conv(self.up1(feat, scale))
+        # Branch A on the unpadded features (:263-265). The RGB conv is fused
+        # through the final pixel shuffle (exact repack, see
+        # ops/pixel_shuffle.commute_conv_through_shuffle).
+        upscaled_input = self.up1(feat, scale,
+                                  tail_kernel=self.up1_conv_kernel,
+                                  tail_relu=True)
 
         # Branch B: transformer over full-res patch tokens (:268-309).
         tokens = patch_embed(feat_pad, self.patch_embed_kernel, self.patch_embed_bias)
@@ -104,7 +113,10 @@ class FastTransformer(nn.Module):
 
         dec = self.decoder_conv1(combined)
         residual = self.decoder_conv2(dec)
-        residual_up = self.final_upscale_conv(self.final_upscale(residual, scale))
+        residual_up = self.final_upscale(
+            residual, scale,
+            tail_kernel=self.final_upscale_conv_kernel,
+            tail_bias=self.final_upscale_conv_bias.astype(self.dtype))
 
         out = upscaled_input + residual_up
 

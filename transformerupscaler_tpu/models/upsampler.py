@@ -15,7 +15,10 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from transformerupscaler_tpu.ops.conv import conv2d
-from transformerupscaler_tpu.ops.pixel_shuffle import pixel_shuffle
+from transformerupscaler_tpu.ops.pixel_shuffle import (
+    commute_conv_through_shuffle,
+    pixel_shuffle,
+)
 from transformerupscaler_tpu.resolutions import VALID_SCALES
 
 _kernel_init = nn.initializers.lecun_normal()
@@ -42,12 +45,24 @@ class Upsampler(nn.Module):
                     f"s{scale}_c{i}_bias", _bias_init, (mult * n,))
         self._params = params
 
-    def __call__(self, x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, scale: int, tail_kernel=None,
+                 tail_bias=None, tail_relu: bool = False) -> jnp.ndarray:
+        """Upsample by ``scale``. When a ``tail_*`` 3x3 conv is given (the
+        conv that would follow the upsample), it is commuted through the
+        final pixel shuffle and applied at base resolution — exact math,
+        ~r^2 better MXU lane utilization for 3-channel outputs."""
         if scale not in self.valid_scales:
             raise ValueError(f"Requested scale={scale} was not built.")
-        for i, (_, shuffle) in enumerate(_STAGES[scale]):
+        stages = _STAGES[scale]
+        for i, (_, shuffle) in enumerate(stages):
             k = self._params[f"s{scale}_c{i}_kernel"]
             b = self._params[f"s{scale}_c{i}_bias"]
             x = conv2d(x, k, b, stride=1, padding=1)
+            if tail_kernel is not None and i == len(stages) - 1:
+                tk = commute_conv_through_shuffle(
+                    tail_kernel.astype(x.dtype), shuffle)
+                tb = (jnp.repeat(tail_bias, shuffle * shuffle)
+                      if tail_bias is not None else None)
+                x = conv2d(x, tk, tb, stride=1, padding=1, relu=tail_relu)
             x = pixel_shuffle(x, shuffle)
         return x

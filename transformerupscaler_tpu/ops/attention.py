@@ -55,8 +55,7 @@ def window_attention(
 
     b, n, c = x.shape
     hd = c // num_heads
-    qkv = jnp.einsum("bnc,cd->bnd", x, qkv_w,
-                     preferred_element_type=jnp.float32).astype(x.dtype) + qkv_b.astype(x.dtype)
+    qkv = jnp.einsum("bnc,cd->bnd", x, qkv_w.astype(x.dtype)) + qkv_b.astype(x.dtype)
     qkv = qkv.reshape(b, n, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, N, hd)
     from transformerupscaler_tpu.parallel.context import maybe_shard_heads
@@ -70,11 +69,9 @@ def window_attention(
     if not deterministic and dropout_rate > 0.0:
         rng, sub = jax.random.split(rng)
         attn = _dropout(attn, dropout_rate, sub, deterministic)
-    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
-    out = jnp.einsum("bnc,cd->bnd", out, proj_w,
-                     preferred_element_type=jnp.float32).astype(x.dtype) + proj_b.astype(x.dtype)
+    out = jnp.einsum("bnc,cd->bnd", out, proj_w.astype(x.dtype)) + proj_b.astype(x.dtype)
     if not deterministic and dropout_rate > 0.0:
         _, sub = jax.random.split(rng)
         out = _dropout(out, dropout_rate, sub, deterministic)
@@ -99,8 +96,7 @@ def multihead_attention(
     """
     b, n, c = x.shape
     hd = c // num_heads
-    qkv = jnp.einsum("bnc,cd->bnd", x, in_w,
-                     preferred_element_type=jnp.float32).astype(x.dtype) + in_b.astype(x.dtype)
+    qkv = jnp.einsum("bnc,cd->bnd", x, in_w.astype(x.dtype)) + in_b.astype(x.dtype)
     qkv = qkv.reshape(b, n, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]
     from transformerupscaler_tpu.parallel.context import maybe_shard_heads
@@ -112,9 +108,7 @@ def multihead_attention(
     if not deterministic and dropout_rate > 0.0:
         rng, sub = jax.random.split(rng)
         attn = _dropout(attn, dropout_rate, sub, deterministic)
-    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
-    out = jnp.einsum("bnc,cd->bnd", out, out_w,
-                     preferred_element_type=jnp.float32).astype(x.dtype) + out_b.astype(x.dtype)
+    out = jnp.einsum("bnc,cd->bnd", out, out_w.astype(x.dtype)) + out_b.astype(x.dtype)
     return out

@@ -12,12 +12,17 @@ from jax import lax
 
 def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None,
            stride: int = 1, padding: int = 1, relu: bool = False) -> jnp.ndarray:
-    """x: NHWC; kernel: HWIO."""
+    """x: NHWC; kernel: HWIO.
+
+    No ``preferred_element_type``: the MXU accumulates in f32 internally
+    either way, and requesting an f32 output measured ~3x slower on v5e than
+    letting the conv emit the input dtype directly (see tools/op_bench2.py).
+    """
     dn = lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
     out = lax.conv_general_dilated(
         x, kernel.astype(x.dtype), (stride, stride),
         ((padding, padding), (padding, padding)),
-        dimension_numbers=dn, preferred_element_type=jnp.float32,
+        dimension_numbers=dn,
     ).astype(x.dtype)
     if bias is not None:
         out = out + bias.astype(x.dtype)

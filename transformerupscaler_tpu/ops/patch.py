@@ -26,9 +26,8 @@ def patch_embed(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = 
             f"grid would be empty (the reference Conv2d errors here too)")
     patches = x.reshape(b, ht, ps, wt, ps, c).transpose(0, 1, 3, 2, 4, 5)
     patches = patches.reshape(b, ht, wt, ps * ps * c)
-    wmat = kernel.reshape(ps * ps * c, -1)
-    out = jnp.einsum("bhwp,pd->bhwd", patches, wmat,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    wmat = kernel.reshape(ps * ps * c, -1).astype(x.dtype)
+    out = jnp.einsum("bhwp,pd->bhwd", patches, wmat)
     if bias is not None:
         out = out + bias.astype(x.dtype)
     return out
@@ -38,9 +37,8 @@ def patch_unembed(tokens: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | 
     """(B, Ht, Wt, D) -> (B, Ht*ps, Wt*ps, C)."""
     d, ps, _, c = kernel.shape
     b, ht, wt, _ = tokens.shape
-    wmat = kernel.reshape(d, ps * ps * c)
-    out = jnp.einsum("bhwd,dp->bhwp", tokens, wmat,
-                     preferred_element_type=jnp.float32).astype(tokens.dtype)
+    wmat = kernel.reshape(d, ps * ps * c).astype(tokens.dtype)
+    out = jnp.einsum("bhwd,dp->bhwp", tokens, wmat)
     out = out.reshape(b, ht, wt, ps, ps, c).transpose(0, 1, 3, 2, 4, 5)
     out = out.reshape(b, ht * ps, wt * ps, c)
     if bias is not None:

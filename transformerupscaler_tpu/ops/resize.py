@@ -120,9 +120,9 @@ def resize(x: jnp.ndarray, out_hw: tuple[int, int], method: str = "bicubic",
     wh = jnp.asarray(resize_matrix(h, oh, method, antialias, a), dtype=dtype)
     ww = jnp.asarray(resize_matrix(w, ow, method, antialias, a), dtype=dtype)
     if oh != h:
-        x = jnp.einsum("oh,bhwc->bowc", wh, x, preferred_element_type=jnp.float32)
+        x = jnp.einsum("oh,bhwc->bowc", wh, x)
     if ow != w:
-        x = jnp.einsum("pw,bhwc->bhpc", ww, x, preferred_element_type=jnp.float32)
+        x = jnp.einsum("pw,bhwc->bhpc", ww, x)
     out = x.astype(dtype)
     return out[0] if squeeze else out
 

@@ -114,9 +114,12 @@ def convert_state_dict(state_dict, model_name: str) -> dict:
         p["conv1"] = _conv(sd, "conv1")
         p["conv2"] = _conv(sd, "conv2")
         p["up1"] = _upsampler(sd, "up1")
-        p["up1_conv"] = _conv(sd, "up1_conv.conv", bias=False)
+        p["up1_conv_kernel"] = np.transpose(
+            np.asarray(sd["up1_conv.conv.weight"]), (2, 3, 1, 0))
         p["final_upscale"] = _upsampler(sd, "final_upscale")
-        p["final_upscale_conv"] = _conv(sd, "final_upscale_conv")
+        p["final_upscale_conv_kernel"] = np.transpose(
+            np.asarray(sd["final_upscale_conv.weight"]), (2, 3, 1, 0))
+        p["final_upscale_conv_bias"] = np.asarray(sd["final_upscale_conv.bias"])
         p.update(_patch_pair(sd))
         for i in range(_n_blocks(sd, "window_blocks")):
             p[f"blocks_{i}"] = _window_block(sd, f"window_blocks.{i}")
