@@ -35,7 +35,7 @@ def main():
     log(f"bench device: {dev}")
 
     res_out = (1080, 1920)
-    model = get_model("FastTransformer", dtype=jnp.bfloat16)
+    model = get_model("FastTransformer", dtype=jnp.bfloat16, compose_tails=True)
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(key, (1, 720, 1280, 3), jnp.bfloat16)
 

@@ -33,9 +33,11 @@ class UpscalerEngine:
 
     def __init__(self, model_name: str, checkpoint_dir: str | None = None,
                  params=None, dtype=jnp.float32, attn_impl: str = "xla",
-                 quantize: bool = False, root: str = ".", donate: bool = False):
+                 quantize: bool = False, root: str = ".", donate: bool = False,
+                 compose_tails: bool = False):
         self.model_name = model_name
-        self.model = get_model(model_name, dtype=dtype, attn_impl=attn_impl)
+        self.model = get_model(model_name, dtype=dtype, attn_impl=attn_impl,
+                               compose_tails=compose_tails)
         self.dtype = dtype
         self._donate = donate
         self._cache: dict = {}

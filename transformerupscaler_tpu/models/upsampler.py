@@ -46,23 +46,42 @@ class Upsampler(nn.Module):
         self._params = params
 
     def __call__(self, x: jnp.ndarray, scale: int, tail_kernel=None,
-                 tail_bias=None, tail_relu: bool = False) -> jnp.ndarray:
+                 tail_bias=None, tail_relu: bool = False,
+                 compose_tail: bool = False) -> jnp.ndarray:
         """Upsample by ``scale``. When a ``tail_*`` 3x3 conv is given (the
         conv that would follow the upsample), it is commuted through the
         final pixel shuffle and applied at base resolution — exact math,
-        ~r^2 better MXU lane utilization for 3-channel outputs."""
+        ~r^2 better MXU lane utilization for 3-channel outputs.
+
+        ``compose_tail`` additionally folds the last stage conv and the
+        commuted tail into ONE 5x5 conv (XLA pads conv output channels to
+        128 lanes, so the wide->narrow pair costs ~2x one composed conv).
+        Composition zero-pads the input instead of the intermediate, so a
+        1-pixel ring at base resolution deviates — serving-path only.
+        """
         if scale not in self.valid_scales:
             raise ValueError(f"Requested scale={scale} was not built.")
         stages = _STAGES[scale]
         for i, (_, shuffle) in enumerate(stages):
             k = self._params[f"s{scale}_c{i}_kernel"]
             b = self._params[f"s{scale}_c{i}_bias"]
-            x = conv2d(x, k, b, stride=1, padding=1)
-            if tail_kernel is not None and i == len(stages) - 1:
+            last = i == len(stages) - 1
+            if tail_kernel is not None and last:
                 tk = commute_conv_through_shuffle(
                     tail_kernel.astype(x.dtype), shuffle)
                 tb = (jnp.repeat(tail_bias, shuffle * shuffle)
                       if tail_bias is not None else None)
-                x = conv2d(x, tk, tb, stride=1, padding=1, relu=tail_relu)
+                if compose_tail:
+                    from transformerupscaler_tpu.ops.conv import (
+                        compose_conv3x3_kernels,
+                    )
+                    kc, bc = compose_conv3x3_kernels(
+                        k.astype(x.dtype), b.astype(x.dtype), tk, tb)
+                    x = conv2d(x, kc, bc, stride=1, padding=2, relu=tail_relu)
+                else:
+                    x = conv2d(x, k, b, stride=1, padding=1)
+                    x = conv2d(x, tk, tb, stride=1, padding=1, relu=tail_relu)
+            else:
+                x = conv2d(x, k, b, stride=1, padding=1)
             x = pixel_shuffle(x, shuffle)
         return x
