@@ -1,0 +1,73 @@
+"""Entry-point CLI smoke tests (subprocess, CPU-pinned, Bicubic for speed)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, cwd):
+    env = dict(os.environ, TUX_PLATFORM="cpu")
+    return subprocess.run([sys.executable] + args, cwd=cwd, env=env,
+                          capture_output=True, text=True, timeout=600)
+
+
+@pytest.fixture
+def workdir(tmp_path):
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(2):
+        arr = (rng.random((256, 384, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"image_{i}.png")
+    return tmp_path
+
+
+def test_inference_cli(workdir):
+    img = str(workdir / "imgs" / "image_0.png")
+    r = _run([os.path.join(REPO, "inference.py"), "--image_path", img,
+              "--model", "BicubicInterpolation", "--scale", "2"],
+             cwd=str(workdir))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Model Scores:" in r.stdout
+    assert "Bicubic Scores:" in r.stdout
+    assert (workdir / "model.jpg").exists()
+    assert (workdir / "bicubic.jpg").exists()
+
+
+def test_inference_cli_rejects_bad_scale(workdir):
+    img = str(workdir / "imgs" / "image_0.png")
+    r = _run([os.path.join(REPO, "inference.py"), "--image_path", img,
+              "--model", "BicubicInterpolation", "--scale", "5"],
+             cwd=str(workdir))
+    assert r.returncode != 0
+    assert "not found in supported output resolutions" in r.stdout
+
+
+def test_train_cli_unknown_model(workdir):
+    # The reference default model name is stale and errors; ours errors with
+    # the available list (train.py keeps the default for CLI parity).
+    r = _run([os.path.join(REPO, "train.py"), "--data_dir",
+              str(workdir / "imgs"), "--epochs", "1"], cwd=str(workdir))
+    assert r.returncode != 0
+    assert "StrippedTransformer" in (r.stderr + r.stdout)
+
+
+def test_stream_cli(workdir):
+    r = _run([os.path.join(REPO, "stream.py"), "--model", "BicubicInterpolation",
+              "--res_in", "350", "--res_out", "720", "--frames", "3"],
+             cwd=str(workdir))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Profiling results:" in r.stdout
+    assert "inference:" in r.stdout
+
+
+def test_overlay_degrades_without_cv2(workdir):
+    r = _run([os.path.join(REPO, "app_overlay.py")], cwd=str(workdir))
+    # cv2 is absent in this image; must exit with guidance, not a traceback.
+    assert "stream.py" in (r.stdout + r.stderr)
