@@ -94,13 +94,13 @@ class StreamPipeline:
         to a center-crop/resize to res_in. sink: callable(frame_u8_np) or
         None. Returns summary stats.
         """
-        from PIL import Image
+        from transformerupscaler_tpu import native
 
         def default_preprocess(frame):
             if frame.shape[:2] != self.res_in:
-                img = Image.fromarray(frame)
-                img = img.resize((self.res_in[1], self.res_in[0]), Image.BILINEAR)
-                frame = np.asarray(img)
+                # Native C++ resize when built (native/resize.cpp);
+                # PIL-identical semantics, threaded on multi-core hosts.
+                frame = native.resize_bilinear_u8(frame, self.res_in)
             return frame
 
         preprocess = preprocess or default_preprocess
