@@ -85,7 +85,7 @@ def main(args):
     res_in = resolutions[args.res_in] if args.res_in else (720, 1280)
     res_out = resolutions[args.res_out]
 
-    pipe = StreamPipeline(args.model, res_in, res_out)
+    pipe = StreamPipeline(args.model, res_in, res_out, quantize=args.quantize)
     print(f"compiled in {pipe.warmup():.1f}s")
 
     region = {"left": 0, "top": 0,

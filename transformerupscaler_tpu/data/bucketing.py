@@ -41,3 +41,30 @@ def batched(dataset, batch_size: int, shuffle: bool = False, seed: int = 0,
             batch = []
     if batch and not drop_last:
         yield batch
+
+
+def prefetched(iterator, depth: int = 2):
+    """Run ``iterator`` in a background thread, keeping up to ``depth`` items
+    ready — overlaps host-side decode/resize with device steps (the TPU
+    analogue of the reference's DataLoader worker processes,
+    train.py:80-81)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item

@@ -54,8 +54,10 @@ class StageTimer:
 class StreamPipeline:
     def __init__(self, model_name: str, res_in: tuple[int, int],
                  res_out: tuple[int, int], params=None, dtype=jnp.bfloat16,
-                 attn_impl: str = "xla"):
-        self.model = get_model(model_name, dtype=dtype, attn_impl=attn_impl)
+                 attn_impl: str = "xla", quantize: bool = False,
+                 compose_tails: bool = False):
+        self.model = get_model(model_name, dtype=dtype, attn_impl=attn_impl,
+                               compose_tails=compose_tails)
         self.model_name = model_name
         self.res_in = res_in
         self.res_out = res_out
@@ -64,6 +66,10 @@ class StreamPipeline:
         x = jnp.zeros((1, *res_in, 3), dtype)
         if params is None:
             params = self.model.init(jax.random.PRNGKey(0), x, res_out=res_out)
+        if quantize:
+            from transformerupscaler_tpu.ops.quant import quantize_linear_params
+
+            params = quantize_linear_params(params)
         self.params = params
 
         def step(p, frame_u8):

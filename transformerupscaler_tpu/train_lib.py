@@ -38,7 +38,7 @@ from transformerupscaler_tpu.checkpoint import (
     load_checkpoint,
     save_checkpoint,
 )
-from transformerupscaler_tpu.data.bucketing import batched, bucket_batch
+from transformerupscaler_tpu.data.bucketing import batched, bucket_batch, prefetched
 from transformerupscaler_tpu.registry import get_model
 
 
@@ -201,8 +201,8 @@ class Trainer:
             running = 0.0
             n_batches = 0
             t0 = time.time()
-            for batch_idx, batch in enumerate(
-                    batched(dataset, batch_size, shuffle=True, seed=seed + epoch)):
+            for batch_idx, batch in enumerate(prefetched(
+                    batched(dataset, batch_size, shuffle=True, seed=seed + epoch))):
                 rng, sub = jax.random.split(rng)
                 loss = self.train_step(batch, sub)
                 running += loss
