@@ -84,3 +84,19 @@ def test_batch_sharded_inference():
     assert out.shape == (8, 48, 64, 3)
     # Output stays batch-sharded — no gather was forced.
     assert out.sharding.spec == P("data",)
+
+
+def test_sharded_upscaler_batch():
+    from transformerupscaler_tpu.parallel.batch_infer import ShardedUpscaler
+
+    mesh = make_mesh(8)
+    up = ShardedUpscaler("WindowTransformer", mesh, dtype=jnp.float32)
+    batch = np.random.default_rng(0).random((8, 32, 32, 3)).astype(np.float32)
+    out = up.upscale_batch(batch, res_out=(64, 64))
+    assert out.shape == (8, 64, 64, 3)
+    from jax.sharding import PartitionSpec as P
+
+    assert out.sharding.spec == P("data",)
+    # Non-divisible batch pads then crops.
+    out = up.upscale_batch(batch[:5], res_out=(64, 64))
+    assert out.shape == (5, 64, 64, 3)
