@@ -50,3 +50,20 @@ def test_quantize_zero_weight_column(rng):
     wq, scale = quantize_weight(w)
     assert np.all(np.asarray(wq) == 0)
     assert np.all(np.isfinite(np.asarray(scale)))
+
+
+def test_int8_mlp_model_path(rng):
+    import jax
+
+    from transformerupscaler_tpu.models.window_transformer import WindowTransformer
+
+    cfg = dict(base_channels=8, transformer_dim=16, num_heads=2,
+               num_window_blocks=1, dropout=0.0)
+    fp = WindowTransformer(**cfg)
+    q8 = WindowTransformer(**cfg, int8_mlp=True)
+    x = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    params = fp.init(jax.random.PRNGKey(0), x, res_out=(64, 64))
+    a = np.asarray(fp.apply(params, x, res_out=(64, 64)))
+    b = np.asarray(q8.apply(params, x, res_out=(64, 64)))
+    assert not np.array_equal(a, b)      # quantization engaged
+    assert np.abs(a - b).max() < 0.05    # but stays close

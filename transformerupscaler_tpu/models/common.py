@@ -34,6 +34,24 @@ def resolve_geometry(in_hw: tuple[int, int], res_out, upscale_factor):
     return tuple(res_out), int(upscale_factor)
 
 
+class DenseParams(nn.Module):
+    """Dense layer with eagerly-declared params (setup), so serving paths can
+    read the raw kernel (e.g. for int8 quantization) without a call. Param
+    tree matches nn.Dense: {kernel, bias}."""
+
+    in_features: int
+    out_features: int
+
+    def setup(self):
+        self.kernel = self.param("kernel", _dense_init,
+                                 (self.in_features, self.out_features))
+        self.bias = self.param("bias", _bias_init, (self.out_features,))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = jnp.einsum("...c,cd->...d", x, self.kernel.astype(x.dtype))
+        return y + self.bias.astype(x.dtype)
+
+
 class ConvLayer(nn.Module):
     """3x3-style conv with explicit HWIO kernel param (torch ``padding=1``
     output semantics via explicit padding)."""
@@ -104,24 +122,39 @@ class WindowBlock(nn.Module):
     mlp_ratio: float = 4.0
     dropout: float = 0.1
     impl: str = "xla"
+    int8_mlp: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def setup(self):
         hidden = int(self.dim * self.mlp_ratio)
-        attn = WindowAttentionLayer(
+        self.attn = WindowAttentionLayer(
             self.dim, self.window_size, self.num_heads, self.dropout,
-            impl=self.impl, dtype=self.dtype, name="attn",
-        )
-        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
-        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
-        fc1 = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")
-        fc2 = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")
-        drop = nn.Dropout(self.dropout, name="mlp_drop")
+            impl=self.impl, dtype=self.dtype)
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.mlp_fc1 = DenseParams(self.dim, hidden)
+        self.mlp_fc2 = DenseParams(hidden, self.dim)
+        self.mlp_drop = nn.Dropout(self.dropout)
 
-        x = x + attn(norm1(x), deterministic=deterministic)
-        y = fc2(jax.nn.gelu(fc1(norm2(x)), approximate=False))
-        y = drop(y, deterministic=deterministic)
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        x = x + self.attn(self.norm1(x), deterministic=deterministic)
+        z = self.norm2(x)
+        if self.int8_mlp and deterministic:
+            # True int8 MXU path: per-output-channel weight quant + dynamic
+            # per-tensor activation quant (serving only).
+            from transformerupscaler_tpu.ops.quant import (
+                int8_dense,
+                quantize_weight,
+            )
+
+            q1, s1 = quantize_weight(self.mlp_fc1.kernel)
+            q2, s2 = quantize_weight(self.mlp_fc2.kernel)
+            y = int8_dense(z, q1, s1, self.mlp_fc1.bias)
+            y = jax.nn.gelu(y, approximate=False)
+            y = int8_dense(y, q2, s2, self.mlp_fc2.bias)
+        else:
+            y = self.mlp_fc2(jax.nn.gelu(self.mlp_fc1(z), approximate=False))
+        y = self.mlp_drop(y, deterministic=deterministic)
         return x + y
 
 

@@ -43,6 +43,7 @@ class FastTransformer(nn.Module):
     window_size: int = 8
     patch_size: int = 8
     attn_impl: str = "xla"
+    int8_mlp: bool = False
     fix_ratio_bug: bool = False
     # Serving-path speedup: fold each Upsampler's last conv with its commuted
     # RGB tail into one 5x5 conv (~2x on those stages; a 1-pixel ring at
@@ -74,7 +75,8 @@ class FastTransformer(nn.Module):
         self.patch_embed_bias = self.param("patch_embed_bias", _bias_init, (td,))
         self.blocks = [
             WindowBlock(td, self.window_size, self.num_heads, self.mlp_ratio,
-                        self.dropout, impl=self.attn_impl, dtype=self.dtype)
+                        self.dropout, impl=self.attn_impl,
+                        int8_mlp=self.int8_mlp, dtype=self.dtype)
             for _ in range(self.num_window_blocks)
         ]
         self.patch_unembed_kernel = self.param(

@@ -37,6 +37,7 @@ class WindowTransformer(nn.Module):
     window_size: int = 8
     patch_size: int = 8
     attn_impl: str = "xla"
+    int8_mlp: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -49,7 +50,8 @@ class WindowTransformer(nn.Module):
         self.patch_embed_bias = self.param("patch_embed_bias", _bias_init, (td,))
         self.blocks = [
             WindowBlock(td, self.window_size, self.num_heads, self.mlp_ratio,
-                        self.dropout, impl=self.attn_impl, dtype=self.dtype)
+                        self.dropout, impl=self.attn_impl,
+                        int8_mlp=self.int8_mlp, dtype=self.dtype)
             for _ in range(self.num_window_blocks)
         ]
         self.patch_unembed_kernel = self.param(
