@@ -65,10 +65,19 @@ def load_checkpoint(path: str, model_name: str | None = None, template=None):
 
         return load_pth(path, model_name)
     ckptr = ocp.PyTreeCheckpointer()
+    path = os.path.abspath(path)
     if template is not None:
-        return ckptr.restore(os.path.abspath(path),
-                             args=ocp.args.PyTreeRestore(item=template))
-    return ckptr.restore(os.path.abspath(path))
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), template)
+        return ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(item=template,
+                                              restore_args=restore_args))
+    # Restore as host numpy: checkpoints written from a TPU process carry
+    # device-sharding metadata that does not resolve on other topologies.
+    meta = ckptr.metadata(path).item_metadata.tree
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+    return ckptr.restore(path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
 
 
 def param_count(params) -> int:
