@@ -31,7 +31,12 @@ def main(args):
             "pipeline.")
 
     res_in, res_out = (720, 1280), (1080, 1920)
-    pipe = StreamPipeline(args.model, res_in, res_out)
+    # bgr_out fuses the RGB->BGR swap for cv2 into the on-device postprocess
+    # (reference app_overlay.py:379-393); the latest checkpoint is loaded by
+    # the pipeline (random weights would silently produce garbage).
+    pipe = StreamPipeline(args.model, res_in, res_out,
+                          checkpoint_dir=args.checkpoint_dir, bgr_out=True)
+    print(f"checkpoint loaded: {pipe.from_checkpoint}")
     print(f"compiled in {pipe.warmup():.1f}s")
 
     sct = mss.mss()
@@ -47,8 +52,10 @@ def main(args):
 
     last = [time.time()]
 
-    def sink(out_rgb):
-        bgr = np.ascontiguousarray(out_rgb[:, :, ::-1])
+    def sink(out_bgr):
+        # already BGR uint8 from the device; draw the FPS counter on the
+        # frame that is shown (reference overlay.py:84-87)
+        bgr = np.ascontiguousarray(out_bgr)
         fps = 1.0 / max(time.time() - last[0], 1e-6)
         last[0] = time.time()
         cv2.putText(bgr, f"FPS: {fps:.2f}", (10, 30),
@@ -68,4 +75,5 @@ def main(args):
 if __name__ == "__main__":
     parser = argparse.ArgumentParser(description="Simple live overlay upscaler")
     parser.add_argument("--model", type=str, default="FastTransformer")
+    parser.add_argument("--checkpoint_dir", type=str, default=None)
     main(parser.parse_args())

@@ -44,20 +44,9 @@ def main(args):
     res_out = resolutions[args.res_out]
     print(f"Streaming on device: {jax.devices()[0]} | {res_in} -> {res_out}")
 
-    params = None
-    if args.checkpoint_dir or os.path.isdir(
-            os.path.join("models", args.model, "checkpoints")):
-        from transformerupscaler_tpu.checkpoint import (
-            default_checkpoint_dir, get_latest_checkpoint, load_checkpoint)
-        try:
-            path, _ = get_latest_checkpoint(
-                args.checkpoint_dir or default_checkpoint_dir(args.model))
-            print(f"Loading checkpoint: {path}")
-            params = {"params": load_checkpoint(path, args.model)["params"]}
-        except FileNotFoundError:
-            pass
-
-    pipe = StreamPipeline(args.model, res_in, res_out, params=params)
+    pipe = StreamPipeline(args.model, res_in, res_out,
+                          checkpoint_dir=args.checkpoint_dir)
+    print(f"checkpoint loaded: {pipe.from_checkpoint}")
     t = pipe.warmup()
     print(f"compiled in {t:.1f}s")
 

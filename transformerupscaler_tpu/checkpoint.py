@@ -80,5 +80,23 @@ def load_checkpoint(path: str, model_name: str | None = None, template=None):
     return ckptr.restore(path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
 
 
+def load_latest_params(model_name: str, checkpoint_dir: str | None = None,
+                       root: str = ".") -> dict | None:
+    """Variables dict ``{"params": ...}`` from the latest checkpoint of
+    ``model_name``, or None when no checkpoint exists.
+
+    The one-stop loader for serving frontends (stream.py, overlay.py,
+    app_overlay.py) — the reference loads the latest checkpoint in every
+    entry point (app_overlay.py:261-271, overlay.py's load path); a frontend
+    that skips this silently serves random weights.
+    """
+    ckpt_dir = checkpoint_dir or default_checkpoint_dir(model_name, root)
+    try:
+        path, _ = get_latest_checkpoint(ckpt_dir)
+    except (FileNotFoundError, NotADirectoryError):
+        return None
+    return {"params": load_checkpoint(path, model_name)["params"]}
+
+
 def param_count(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

@@ -55,16 +55,25 @@ class StreamPipeline:
     def __init__(self, model_name: str, res_in: tuple[int, int],
                  res_out: tuple[int, int], params=None, dtype=jnp.bfloat16,
                  attn_impl: str = "xla", quantize: bool = False,
-                 compose_tails: bool = False):
+                 compose_tails: bool = False, checkpoint_dir: str | None = None,
+                 bgr_out: bool = False, load_checkpoint: bool = True):
         self.model = get_model(model_name, dtype=dtype, attn_impl=attn_impl,
                                compose_tails=compose_tails)
         self.model_name = model_name
         self.res_in = res_in
         self.res_out = res_out
         self.dtype = dtype
+        self.bgr_out = bgr_out
 
-        x = jnp.zeros((1, *res_in, 3), dtype)
+        if params is None and load_checkpoint:
+            # The reference loads the latest checkpoint in every live frontend
+            # (app_overlay.py:261-271); serving random weights is a bug.
+            from transformerupscaler_tpu.checkpoint import load_latest_params
+
+            params = load_latest_params(model_name, checkpoint_dir)
+        self.from_checkpoint = params is not None
         if params is None:
+            x = jnp.zeros((1, *res_in, 3), dtype)
             params = self.model.init(jax.random.PRNGKey(0), x, res_out=res_out)
         if quantize:
             from transformerupscaler_tpu.ops.quant import quantize_linear_params
@@ -74,12 +83,16 @@ class StreamPipeline:
 
         def step(p, frame_u8):
             # uint8 H2D (smallest transfer), normalize + upscale + quantize
-            # back to uint8 entirely on device.
+            # back to uint8 entirely on device. The optional RGB->BGR swap for
+            # cv2 display also runs on device (reference fuses it the same
+            # way, app_overlay.py:60-71, 379-393).
             xin = frame_u8.astype(dtype) / jnp.asarray(255.0, dtype)
             kwargs = {"res_out": res_out}
             if model_name != "BicubicInterpolation":
                 kwargs["require_ratio"] = True
             out = self.model.apply(p, xin[None], **kwargs)[0]
+            if bgr_out:
+                out = out[..., ::-1]
             return jnp.clip(out * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
 
         self._step = jax.jit(step)
@@ -94,11 +107,26 @@ class StreamPipeline:
 
     def run(self, source, sink=None, max_frames: int | None = None,
             preprocess=None) -> dict:
-        """Drive the pipeline.
+        """Drive the pipeline with two frames in flight on the device.
 
         source: iterator of HWC uint8 frames (any size); preprocess defaults
         to a center-crop/resize to res_in. sink: callable(frame_u8_np) or
         None. Returns summary stats.
+
+        Pipelining (the TPU analogue of the reference's CUDA side-stream
+        overlap, app_overlay.py:293, 363-377): frame i+1 is dispatched before
+        frame i's output is fetched, so D2H of i overlaps compute of i+1 and
+        host stages overlap device work.
+
+        Stage accounting (honest under the async dispatch model):
+          capture     time pulling the next frame from the source
+          preprocess  wait for the one-ahead preprocess worker
+          inference   dispatch of frame i -> frame i's result fetched, i.e.
+                      true device latency incl. D2H (host work in between
+                      overlaps, so stage sums may exceed wall-clock)
+          postprocess time *blocked* in the device fetch (the non-overlapped
+                      part of inference)
+          display     sink callback
         """
         from transformerupscaler_tpu import native
 
@@ -114,12 +142,33 @@ class StreamPipeline:
         timer = self.timer
         fps_hist = []
 
+        def finish(pending):
+            """Fetch a dispatched frame, account stages, hand to sink."""
+            out_dev, t_dispatch = pending
+            t0 = time.perf_counter()
+            out_np = np.asarray(out_dev)
+            t1 = time.perf_counter()
+            timer.add("postprocess", t1 - t0)
+            timer.add("inference", t1 - t_dispatch)
+            t0 = time.perf_counter()
+            if sink is not None:
+                sink(out_np)
+            timer.add("display", time.perf_counter() - t0)
+            timer.iterations += 1
+
         pre_future = None
+        pending = None  # (device array, dispatch timestamp) of frame i-1
         n = 0
         t_loop = time.perf_counter()
+        src = iter(source)
         try:
-            for frame in source:
+            while max_frames is None or n < max_frames:
                 iter_start = time.perf_counter()
+                t0 = time.perf_counter()
+                frame = next(src, None)
+                if frame is None:
+                    break
+                timer.add("capture", time.perf_counter() - t0)
 
                 t0 = time.perf_counter()
                 # one-frame-ahead preprocessing (reference :350-357)
@@ -130,24 +179,18 @@ class StreamPipeline:
                 pre_future = executor.submit(preprocess, frame)
                 timer.add("preprocess", time.perf_counter() - t0)
 
-                t0 = time.perf_counter()
+                # Dispatch frame i, then retire frame i-1: its D2H overlaps
+                # this frame's device compute.
+                t_dispatch = time.perf_counter()
                 out_dev = self._step(self.params, jnp.asarray(ready))
-                timer.add("inference", time.perf_counter() - t0)
-
-                t0 = time.perf_counter()
-                out_np = np.asarray(out_dev)
-                timer.add("postprocess", time.perf_counter() - t0)
-
-                t0 = time.perf_counter()
-                if sink is not None:
-                    sink(out_np)
-                timer.add("display", time.perf_counter() - t0)
-
-                timer.iterations += 1
+                if pending is not None:
+                    finish(pending)
+                pending = (out_dev, t_dispatch)
                 n += 1
                 fps_hist.append(1.0 / max(time.perf_counter() - iter_start, 1e-9))
-                if max_frames is not None and n >= max_frames:
-                    break
+            if pending is not None:
+                finish(pending)
+                pending = None
         finally:
             executor.shutdown(wait=False)
 
