@@ -1,0 +1,109 @@
+"""Numerics for the round-2 Pallas serving kernels (run interpreted on the
+CPU test platform): fused trunk megakernel, fused patch embed/unembed+add,
+and the width-2-packed conv. Each must match its XLA-path twin."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from transformerupscaler_tpu.ops.conv import conv2d, conv2d_packed2
+from transformerupscaler_tpu.registry import get_model
+
+
+def test_conv2d_packed2_matches_plain(rng):
+    x = jnp.asarray(rng.standard_normal((2, 12, 40, 64)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 64, 64)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    ref = conv2d(x, k, b, relu=True, auto_macro=False)
+    got = conv2d_packed2(x, k, b, relu=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_trunk_matches_xla_blocks(rng):
+    from transformerupscaler_tpu.models.common import WindowBlock
+    from transformerupscaler_tpu.ops.pallas.trunk import fused_window_trunk
+
+    key = jax.random.PRNGKey(3)
+    win = jax.random.uniform(key, (10, 64, 192), jnp.float32)
+    blocks = [WindowBlock(192, 8, 12, dropout=0.0, dtype=jnp.float32)
+              for _ in range(2)]
+    params, outs = [], win
+    for i, blk in enumerate(blocks):
+        p = blk.init(jax.random.PRNGKey(i), outs)
+        outs = blk.apply(p, outs)
+        params.append(p["params"])
+
+    got = fused_window_trunk(win, params, num_heads=12, window_size=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(outs),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fused_trunk_pads_window_remainder(rng):
+    """nW not divisible by windows_per_cell pads with zero windows."""
+    from transformerupscaler_tpu.models.common import WindowBlock
+    from transformerupscaler_tpu.ops.pallas.trunk import fused_window_trunk
+
+    key = jax.random.PRNGKey(5)
+    win = jax.random.uniform(key, (5, 64, 192), jnp.float32)
+    blk = WindowBlock(192, 8, 12, dropout=0.0, dtype=jnp.float32)
+    p = blk.init(jax.random.PRNGKey(0), win)
+    ref = blk.apply(p, win)
+    got = fused_window_trunk(win, [p["params"]], num_heads=12, window_size=8,
+                             windows_per_cell=4)
+    assert got.shape == win.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fused_patch_kernels_match_xla(rng):
+    from transformerupscaler_tpu.ops.pallas.patch_kernels import (
+        fused_patch_embed,
+        fused_patch_unembed_add,
+    )
+    from transformerupscaler_tpu.ops.patch import patch_embed, patch_unembed
+
+    x = jnp.asarray(rng.standard_normal((1, 32, 48, 64)), jnp.float32)
+    ke = jnp.asarray(rng.standard_normal((8, 8, 64, 192)) * 0.05, jnp.float32)
+    be = jnp.asarray(rng.standard_normal(192), jnp.float32)
+    ref = patch_embed(x, ke, be)
+    got = fused_patch_embed(x, ke, be)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    ku = jnp.asarray(rng.standard_normal((192, 8, 8, 64)) * 0.05, jnp.float32)
+    bu = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    tokens = ref
+    ref2 = patch_unembed(tokens, ku, bu) + x
+    got2 = fused_patch_unembed_add(tokens, x, ku, bu)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_full_model_pallas_serve_matches_xla():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (1, 48, 64, 3), jnp.float32)
+    m_x = get_model("FastTransformer", dtype=jnp.float32)
+    m_p = get_model("FastTransformer", dtype=jnp.float32,
+                    attn_impl="fused", pallas_serve=True)
+    params = m_x.init(key, x, res_out=(96, 128))
+    y_x = m_x.apply(params, x, res_out=(96, 128))
+    y_p = m_p.apply(params, x, res_out=(96, 128))
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
+                               rtol=1e-4, atol=2e-5)
+
+
+def test_composed_decoder_tail_interior_exact():
+    """compose_tails folds decoder_conv2 into the B-branch upsampler; the
+    interior must match the exact path (border ring is the documented
+    deviation)."""
+    key = jax.random.PRNGKey(1)
+    x = jax.random.uniform(key, (1, 32, 48, 3), jnp.float32)
+    m_x = get_model("FastTransformer", dtype=jnp.float32)
+    m_c = get_model("FastTransformer", dtype=jnp.float32, compose_tails=True)
+    params = m_x.init(key, x, upscale_factor=2)
+    y_x = m_x.apply(params, x, upscale_factor=2, require_ratio=False)
+    y_c = m_c.apply(params, x, upscale_factor=2, require_ratio=False)
+    diff = np.abs(np.asarray(y_x) - np.asarray(y_c))[:, 16:-16, 16:-16]
+    assert diff.max() < 3e-5

@@ -61,7 +61,7 @@ def main():
     K = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     from transformerupscaler_tpu.registry import get_model
     from transformerupscaler_tpu.ops.patch import patch_embed, patch_unembed
-    from transformerupscaler_tpu.ops.resize import resize_antialias_bilinear
+    from transformerupscaler_tpu.ops.resize import resize_shuffled  # noqa: F401
     from transformerupscaler_tpu.models.common import run_window_trunk
 
     dt = jnp.bfloat16
@@ -80,7 +80,8 @@ def main():
             if n == 1:
                 return feat
             up = m.up1(feat, 2, tail_kernel=m.up1_conv_kernel.astype(dt),
-                       tail_relu=True, compose_tail=True)
+                       tail_relu=True, compose_tail=True,
+                       return_preshuffle=True)
             if n == 2:
                 return up
             tokens = patch_embed(feat, m.patch_embed_kernel.astype(dt),
@@ -103,23 +104,23 @@ def main():
                 residual, 2,
                 tail_kernel=m.final_upscale_conv_kernel.astype(dt),
                 tail_bias=m.final_upscale_conv_bias.astype(dt),
-                compose_tail=True)
+                compose_tail=True, return_preshuffle=True)
             out = up + residual_up
             if n == 7:
                 return out
-            out = resize_antialias_bilinear(out, res_out)
+            out = resize_shuffled(out, 2, res_out)
             return jnp.clip(out, 0.0, 1.0)
         return fwd
 
     names = [
         "1 encoder conv1+conv2",
-        "2 + up1 composed (branch A)",
+        "2 + up1 composed preshuffle (branch A)",
         "3 + patch_embed",
         "4 + window trunk (6 blocks)",
         "5 + unembed + combine",
         "6 + decoder convs",
-        "7 + final_upscale + add (1440p)",
-        "8 + squash resize + clip (= full)",
+        "7 + final_upscale + add (12ch)",
+        "8 + fused squash resize + clip",
     ]
     prev = 0.0
     for i, name in enumerate(names, start=1):
@@ -128,6 +129,8 @@ def main():
                     params, x, K)
         print(f"    delta: {(per - prev) * 1e3:8.3f} ms", flush=True)
         prev = per
+    probe("9 model.apply full (the real thing)",
+          lambda pp, v: model.apply(pp, v, res_out=res_out), params, x, K)
 
 
 if __name__ == "__main__":

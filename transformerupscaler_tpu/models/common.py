@@ -176,8 +176,20 @@ def run_window_trunk(tokens: jnp.ndarray, blocks, window_size: int,
     win = window_partition(tokens, ws)  # (B, nW, ws*ws, D)
     n_win = win.shape[1]
     win = win.reshape(b * n_win, ws * ws, d)
-    for block in blocks:
-        win = block(win, deterministic=deterministic)
+    first = blocks[0]
+    if (first.impl == "fused" and deterministic
+            and not first.is_initializing()):
+        # Whole-trunk Pallas megakernel (ops/pallas/trunk.py): all blocks run
+        # VMEM-resident per window group. Serving only — dropout and param
+        # init go through the reference path below.
+        from transformerupscaler_tpu.ops.pallas.trunk import fused_window_trunk
+
+        win = fused_window_trunk(
+            win, [blk.variables["params"] for blk in blocks],
+            num_heads=first.num_heads, window_size=ws)
+    else:
+        for block in blocks:
+            win = block(win, deterministic=deterministic)
     win = win.reshape(b, n_win, ws * ws, d)
     tokens = window_reverse(win, ws, hp, wp)
     if pad_b or pad_r:

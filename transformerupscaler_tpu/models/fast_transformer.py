@@ -25,9 +25,12 @@ from transformerupscaler_tpu.models.common import (
     _dense_init,
     _bias_init,
 )
-from transformerupscaler_tpu.models.upsampler import Upsampler
+from transformerupscaler_tpu.models.upsampler import (
+    Upsampler,
+    last_shuffle_factor,
+)
 from transformerupscaler_tpu.ops.patch import patch_embed, patch_unembed
-from transformerupscaler_tpu.ops.resize import resize_antialias_bilinear
+from transformerupscaler_tpu.ops.resize import resize_shuffled
 from transformerupscaler_tpu.registry import register_model
 
 
@@ -45,6 +48,10 @@ class FastTransformer(nn.Module):
     attn_impl: str = "xla"
     int8_mlp: bool = False
     fix_ratio_bug: bool = False
+    # Serving path: route patch embed/unembed(+skip add) through the Pallas
+    # kernels (ops/pallas/patch_kernels.py). Exact; inference-only (the
+    # kernels define no VJP).
+    pallas_serve: bool = False
     # Serving-path speedup: fold each Upsampler's last conv with its commuted
     # RGB tail into one 5x5 conv (~2x on those stages; a 1-pixel ring at
     # feature resolution deviates from the exact sequential form).
@@ -101,37 +108,82 @@ class FastTransformer(nn.Module):
         feat_pad = (jnp.pad(feat, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
                             mode="reflect") if pad_h or pad_w else feat)
 
+        # Decide the require_ratio squash statically (shapes are static under
+        # jit). When it runs, both branches stay in the r^2-packed pre-shuffle
+        # domain and the squash resize applies there via phase-split matrices
+        # (ops/resize.resize_shuffled) — exact, and it removes the serving
+        # path's most expensive stage (8.9 ms -> 0.1 ms on v5e: the scaled-up
+        # image is never materialized and the resize matmuls keep all 128
+        # lanes busy instead of 3).
+        out_hw = (h_feat * scale, w_feat * scale)
+        # Reference compares res_out against (H, H) — reproduce unless fixed (:323).
+        compare = out_hw if self.fix_ratio_bug else (out_hw[0], out_hw[0])
+        squash = require_ratio and tuple(res_out) != compare
+
         # Branch A on the unpadded features (:263-265). The RGB conv is fused
         # through the final pixel shuffle (exact repack, see
         # ops/pixel_shuffle.commute_conv_through_shuffle).
         upscaled_input = self.up1(feat, scale,
                                   tail_kernel=self.up1_conv_kernel,
                                   tail_relu=True,
-                                  compose_tail=self.compose_tails)
+                                  compose_tail=self.compose_tails,
+                                  return_preshuffle=squash)
 
         # Branch B: transformer over full-res patch tokens (:268-309).
-        tokens = patch_embed(feat_pad, self.patch_embed_kernel, self.patch_embed_bias)
-        tokens = run_window_trunk(tokens, self.blocks, self.window_size,
-                                  deterministic=deterministic)
-        feat_trans = patch_unembed(tokens, self.patch_unembed_kernel,
-                                   self.patch_unembed_bias)
-        feat_trans = feat_trans[:, :h_feat, :w_feat, :]
-        combined = feat + feat_trans
+        use_pallas = (self.pallas_serve and deterministic
+                      and not self.is_initializing()
+                      and not (pad_h or pad_w)
+                      and self.base_channels == 64 and self.patch_size == 8)
+        if use_pallas:
+            from transformerupscaler_tpu.ops.pallas.patch_kernels import (
+                fused_patch_embed,
+                fused_patch_unembed_add,
+            )
+
+            tokens = fused_patch_embed(
+                feat_pad, self.patch_embed_kernel.astype(self.dtype),
+                self.patch_embed_bias)
+            tokens = run_window_trunk(tokens, self.blocks, self.window_size,
+                                      deterministic=deterministic)
+            combined = fused_patch_unembed_add(
+                tokens, feat, self.patch_unembed_kernel.astype(self.dtype),
+                self.patch_unembed_bias)
+        else:
+            tokens = patch_embed(feat_pad, self.patch_embed_kernel,
+                                 self.patch_embed_bias)
+            tokens = run_window_trunk(tokens, self.blocks, self.window_size,
+                                      deterministic=deterministic)
+            feat_trans = patch_unembed(tokens, self.patch_unembed_kernel,
+                                       self.patch_unembed_bias)
+            feat_trans = feat_trans[:, :h_feat, :w_feat, :]
+            combined = feat + feat_trans
 
         dec = self.decoder_conv1(combined)
-        residual = self.decoder_conv2(dec)
-        residual_up = self.final_upscale(
-            residual, scale,
-            tail_kernel=self.final_upscale_conv_kernel,
-            tail_bias=self.final_upscale_conv_bias.astype(self.dtype),
-            compose_tail=self.compose_tails)
+        if self.compose_tails and not self.is_initializing():
+            # Fold decoder_conv2 (3x3 64->3, no activation between — reference
+            # model.py:313,316) into the upsampler's first conv: one
+            # 128-lane-friendly composed conv instead of a 3-output-lane conv
+            # followed by a 12-lane one (measured 2.5 + 1.3 ms -> ~1 ms).
+            p2 = self.decoder_conv2.variables["params"]
+            residual_up = self.final_upscale(
+                dec, scale,
+                tail_kernel=self.final_upscale_conv_kernel,
+                tail_bias=self.final_upscale_conv_bias.astype(self.dtype),
+                compose_tail=True,
+                return_preshuffle=squash,
+                pre_kernel=p2["kernel"], pre_bias=p2["bias"])
+        else:
+            residual = self.decoder_conv2(dec)
+            residual_up = self.final_upscale(
+                residual, scale,
+                tail_kernel=self.final_upscale_conv_kernel,
+                tail_bias=self.final_upscale_conv_bias.astype(self.dtype),
+                compose_tail=self.compose_tails,
+                return_preshuffle=squash)
 
         out = upscaled_input + residual_up
 
-        out_hw = (out.shape[1], out.shape[2])
-        # Reference compares res_out against (H, H) — reproduce unless fixed (:323).
-        compare = out_hw if self.fix_ratio_bug else (out_hw[0], out_hw[0])
-        if require_ratio and tuple(res_out) != compare:
-            out = resize_antialias_bilinear(out, res_out)
+        if squash:
+            out = resize_shuffled(out, last_shuffle_factor(scale), res_out)
 
         return jnp.clip(out, 0.0, 1.0)

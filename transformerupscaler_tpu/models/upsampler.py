@@ -47,7 +47,9 @@ class Upsampler(nn.Module):
 
     def __call__(self, x: jnp.ndarray, scale: int, tail_kernel=None,
                  tail_bias=None, tail_relu: bool = False,
-                 compose_tail: bool = False) -> jnp.ndarray:
+                 compose_tail: bool = False,
+                 return_preshuffle: bool = False,
+                 pre_kernel=None, pre_bias=None) -> jnp.ndarray:
         """Upsample by ``scale``. When a ``tail_*`` 3x3 conv is given (the
         conv that would follow the upsample), it is commuted through the
         final pixel shuffle and applied at base resolution — exact math,
@@ -58,6 +60,16 @@ class Upsampler(nn.Module):
         128 lanes, so the wide->narrow pair costs ~2x one composed conv).
         Composition zero-pads the input instead of the intermediate, so a
         1-pixel ring at base resolution deviates — serving-path only.
+
+        ``return_preshuffle`` skips the LAST pixel shuffle and returns the
+        r^2-packed tensor — the caller fuses the shuffle into downstream
+        linear work (see ops.resize.resize_shuffled). The skipped factor is
+        ``last_shuffle_factor(scale)``.
+
+        ``pre_kernel``/``pre_bias``: a conv that would PRECEDE this
+        upsampler (FastTransformer's decoder_conv2, reference
+        model.py:313) folded into the first stage conv by composition —
+        same border deviation as ``compose_tail``, so only used with it.
         """
         if scale not in self.valid_scales:
             raise ValueError(f"Requested scale={scale} was not built.")
@@ -66,6 +78,16 @@ class Upsampler(nn.Module):
             k = self._params[f"s{scale}_c{i}_kernel"]
             b = self._params[f"s{scale}_c{i}_bias"]
             last = i == len(stages) - 1
+            pad = 1
+            if pre_kernel is not None and i == 0:
+                from transformerupscaler_tpu.ops.conv import (
+                    compose_conv3x3_kernels,
+                )
+                k, b = compose_conv3x3_kernels(
+                    pre_kernel.astype(x.dtype),
+                    None if pre_bias is None else pre_bias.astype(x.dtype),
+                    k.astype(x.dtype), b.astype(x.dtype))
+                pad = (k.shape[0] - 1) // 2
             if tail_kernel is not None and last:
                 tk = commute_conv_through_shuffle(
                     tail_kernel.astype(x.dtype), shuffle)
@@ -77,11 +99,19 @@ class Upsampler(nn.Module):
                     )
                     kc, bc = compose_conv3x3_kernels(
                         k.astype(x.dtype), b.astype(x.dtype), tk, tb)
-                    x = conv2d(x, kc, bc, stride=1, padding=2, relu=tail_relu)
+                    x = conv2d(x, kc, bc, stride=1,
+                               padding=(kc.shape[0] - 1) // 2, relu=tail_relu)
                 else:
-                    x = conv2d(x, k, b, stride=1, padding=1)
+                    x = conv2d(x, k, b, stride=1, padding=pad)
                     x = conv2d(x, tk, tb, stride=1, padding=1, relu=tail_relu)
             else:
-                x = conv2d(x, k, b, stride=1, padding=1)
+                x = conv2d(x, k, b, stride=1, padding=pad)
+            if return_preshuffle and last:
+                return x
             x = pixel_shuffle(x, shuffle)
         return x
+
+
+def last_shuffle_factor(scale: int) -> int:
+    """Shuffle factor skipped by ``return_preshuffle`` for this scale."""
+    return _STAGES[scale][-1][1]

@@ -10,20 +10,131 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _macro_block(width: int, out_ch: int) -> int:
+    """Largest horizontal block so block*out_ch fills (but doesn't exceed)
+    the 128 MXU lanes and divides the image width."""
+    best = 1
+    b = 128 // out_ch
+    while b > 1:
+        if width % b == 0:
+            best = b
+            break
+        b -= 1
+    return best
+
+
 def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None,
-           stride: int = 1, padding: int = 1, relu: bool = False) -> jnp.ndarray:
+           stride: int = 1, padding: int = 1, relu: bool = False,
+           auto_macro: bool = True) -> jnp.ndarray:
     """x: NHWC; kernel: HWIO.
 
     No ``preferred_element_type``: the MXU accumulates in f32 internally
     either way, and requesting an f32 output measured ~3x slower on v5e than
     letting the conv emit the input dtype directly (see tools/op_bench2.py).
+
+    Small-output-channel convs (O <= 16: the RGB tails and commuted
+    pixel-shuffle tails) route through the exact macro formulation
+    (conv2d_macro) — XLA pads conv output channels to 128 lanes, so e.g. the
+    5x5 64->12 composed tail measured 5.3 ms direct vs 2.4 ms macro on v5e.
     """
+    o = kernel.shape[3]
+    if (auto_macro and stride == 1 and o <= 16
+            and kernel.shape[0] == kernel.shape[1]
+            and kernel.shape[0] == 2 * padding + 1):
+        block = _macro_block(x.shape[2], o)
+        if block > 1:
+            return conv2d_macro(x, kernel, bias, padding=padding, relu=relu,
+                                block=block)
+    if (auto_macro and stride == 1 and padding == 1
+            and kernel.shape[:2] == (3, 3) and kernel.shape[2] == 64
+            and o == 64 and x.shape[2] % 2 == 0):
+        return conv2d_packed2(x, kernel, bias, relu=relu)
     dn = lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
     out = lax.conv_general_dilated(
         x, kernel.astype(x.dtype), (stride, stride),
         ((padding, padding), (padding, padding)),
         dimension_numbers=dn,
     ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(x.dtype)
+    if relu:
+        out = jax.nn.relu(out)
+    return out
+
+
+def conv2d_packed2(x: jnp.ndarray, kernel: jnp.ndarray,
+                   bias: jnp.ndarray | None = None,
+                   relu: bool = False) -> jnp.ndarray:
+    """Exact 3x3 same-pad conv computed on a width-2 pixel-packed layout.
+
+    For C=64 convs the NHWC minor dim half-fills the 128 MXU lanes AND the
+    128-byte HBM tile, so XLA runs them at ~30 TF/s (measured 2.49 ms for the
+    68 GF 64->64 conv at 720p). Packing two adjacent pixels into the channel
+    dim — a FREE reshape in row-major NHWC — makes it a (3, 3, 2C, 2C) conv
+    on (H, W/2, 2C): 2x the MACs but all 128 lanes busy (measured 1.84 ms).
+
+    Exact: every extra kernel slot is zero.
+    """
+    kh, kw, cin, cout = kernel.shape
+    b, h, w, _ = x.shape
+    kp = jnp.zeros((kh, 3, 2 * cin, 2 * cout), kernel.dtype)
+    # output pixel 2*w2+pxo takes input pixel 2*(w2+Xp-1)+pxi at tap
+    # dx = 2*Xp - 1 + pxi - pxo (valid when 0 <= dx < 3).
+    for Xp in range(3):
+        for pxi in range(2):
+            for pxo in range(2):
+                dx = 2 * Xp - 1 + pxi - pxo
+                if 0 <= dx < kw:
+                    kp = kp.at[:, Xp, pxi * cin:(pxi + 1) * cin,
+                               pxo * cout:(pxo + 1) * cout].set(kernel[:, dx])
+    xp = x.reshape(b, h, w // 2, 2 * cin)
+    dn = lax.conv_dimension_numbers(xp.shape, kp.shape, ("NHWC", "HWIO", "NHWC"))
+    out = lax.conv_general_dilated(
+        xp, kp.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=dn,
+    ).astype(x.dtype)
+    out = out.reshape(b, h, w, cout)
+    if bias is not None:
+        out = out + bias.astype(x.dtype)
+    if relu:
+        out = jax.nn.relu(out)
+    return out
+
+
+def conv2d_macro(x: jnp.ndarray, kernel: jnp.ndarray,
+                 bias: jnp.ndarray | None = None, padding: int = 1,
+                 relu: bool = False, block: int = 8) -> jnp.ndarray:
+    """Exact same-output conv for SMALL output-channel kernels, reshaped so
+    the MXU's 128 lanes stay busy.
+
+    XLA pads conv output channels to 128 lanes, so a (kh, kw, Cin, O) conv
+    with O in {3, 12} wastes >90% of the MXU (measured: the 5x5 64->12
+    composed tail costs 4.6 ms of a 28.7 ms 720p frame on v5e). This computes
+    ``block`` horizontally-adjacent output pixels as one stride-``block``
+    conv with block*O output channels: kernel (kh, kw+block-1, Cin, block*O)
+    where slot (s, c) holds k[:, X-s, :, c]. MAC inflation is
+    (kw+block-1)/kw, a large win whenever block*O fills lanes better than O.
+    Pick block so block*O is near (a multiple of) 128 and divides W.
+
+    Bit-exact vs conv2d (same taps, same adds, zero-filled extras).
+    """
+    kh, kw, cin, o = kernel.shape
+    b, h, w, _ = x.shape
+    if w % block:
+        raise ValueError(f"width {w} not divisible by block {block}")
+    kw_m = kw + block - 1
+    km = jnp.zeros((kh, kw_m, cin, block, o), kernel.dtype)
+    for s in range(block):
+        km = km.at[:, s:s + kw, :, s, :].add(kernel)
+    km = km.reshape(kh, kw_m, cin, block * o)
+    pad_r = kw - 1 - padding
+    dn = lax.conv_dimension_numbers(x.shape, km.shape, ("NHWC", "HWIO", "NHWC"))
+    out = lax.conv_general_dilated(
+        x, km.astype(x.dtype), (1, block),
+        ((padding, padding), (padding, pad_r)),
+        dimension_numbers=dn,
+    ).astype(x.dtype)
+    out = out.reshape(b, h, w, o)
     if bias is not None:
         out = out + bias.astype(x.dtype)
     if relu:

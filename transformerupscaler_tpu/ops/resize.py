@@ -127,6 +127,35 @@ def resize(x: jnp.ndarray, out_hw: tuple[int, int], method: str = "bicubic",
     return out[0] if squeeze else out
 
 
+def resize_shuffled(z: jnp.ndarray, r: int, out_hw: tuple[int, int],
+                    method: str = "bilinear", antialias: bool = True,
+                    a: float | None = None) -> jnp.ndarray:
+    """``resize(pixel_shuffle(z, r), out_hw)`` without materializing the
+    shuffled image — exact up to fp reassociation.
+
+    ``z``: (B, H, W, C*r*r) with channels ordered (c, i, j) like
+    ops.pixel_shuffle. Because the shuffle is a permutation and the resize is
+    linear, the (out, in) resize matrices split by phase:
+    ``M_i[o, h] = M[o, h*r + i]`` — and apply directly in the packed domain.
+
+    This kills the serving path's worst stage: the reference's require_ratio
+    squash (FastTransformer/model.py:322-325) resized the full 2x-upscaled
+    image with 3-channel matmuls (measured 8.9 ms of a 28.7 ms frame on v5e —
+    3 output lanes of 128 used); the packed form contracts (h, i) and (w, j)
+    jointly with all 128 lanes busy and 4x fewer pixels touched.
+    """
+    b, h, w, crr = z.shape
+    c = crr // (r * r)
+    oh, ow = out_hw
+    dtype = z.dtype
+    mh = resize_matrix(h * r, oh, method, antialias, a).reshape(oh, h, r)
+    mw = resize_matrix(w * r, ow, method, antialias, a).reshape(ow, w, r)
+    z6 = z.reshape(b, h, w, c, r, r)
+    t = jnp.einsum("ohi,nhwcij->nowcj", jnp.asarray(mh, dtype), z6)
+    out = jnp.einsum("pwj,nowcj->nopc", jnp.asarray(mw, dtype), t)
+    return out.astype(dtype)
+
+
 def interpolate_bicubic(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     """Parity with ``F.interpolate(x, size, mode='bicubic',
     align_corners=False)`` (reference ResidualTransformer/model.py:125)."""
