@@ -58,8 +58,15 @@ def main(args):
     bicubic_image.save("bicubic.jpg")
     print("Bicubic image saved to: bicubic.jpg")
 
+    import jax.numpy as jnp
+
+    # --dtype bf16 is the TPU analogue of the reference's fp16 autocast at
+    # inference (reference inference.py:117-122); --int8_mlp routes the MLP
+    # GEMMs through the true int8 MXU path (ops/quant.int8_dense).
+    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[args.dtype]
     engine = UpscalerEngine(args.model, checkpoint_dir=args.checkpoint_dir,
-                            quantize=args.quantize)
+                            quantize=args.quantize, dtype=dtype,
+                            int8_mlp=args.int8_mlp)
     if engine.checkpoint_path:
         print(f"Loading checkpoint: {engine.checkpoint_path}")
     else:
@@ -123,4 +130,9 @@ if __name__ == "__main__":
                         help="Accepted for reference-CLI parity; jit is always on")
     parser.add_argument("--quantize", action="store_true",
                         help="Enable int8 quantization of linear layers")
+    parser.add_argument("--dtype", choices=["f32", "bf16"], default="f32",
+                        help="Inference compute dtype (bf16 = the TPU "
+                             "analogue of the reference's fp16 autocast)")
+    parser.add_argument("--int8_mlp", action="store_true",
+                        help="Run transformer MLP GEMMs on the int8 MXU path")
     main(parser.parse_args())

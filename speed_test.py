@@ -21,6 +21,8 @@ from transformerupscaler_tpu.infer_lib import UpscalerEngine
 
 def main(args):
     print(f"Running speed test on device: {jax.devices()[0]}")
+    if args.mesh:
+        return main_sharded(args)
 
     engine = UpscalerEngine(args.model, checkpoint_dir=args.checkpoint_dir)
     if engine.checkpoint_path:
@@ -69,6 +71,60 @@ def main(args):
     print(f"Average inference time per image: {average:.4f} seconds")
 
 
+def main_sharded(args):
+    """Multi-chip throughput: the image stream batch-sharded over the mesh's
+    data axis (SURVEY §2.9's TPU-native scaling of this workload — each chip
+    upscales its slice, no forward-path collectives)."""
+    import numpy as np
+
+    from transformerupscaler_tpu.checkpoint import load_latest_params
+    from transformerupscaler_tpu.parallel.batch_infer import ShardedUpscaler
+    from transformerupscaler_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(args.mesh if args.mesh > 0 else None)
+    n = mesh.shape["data"]
+    print(f"Device mesh: {dict(mesh.shape)} — batch-sharded inference")
+    params = load_latest_params(args.model, args.checkpoint_dir)
+    print("Loaded checkpoint" if params else "No checkpoint; random init")
+    upscaler = ShardedUpscaler(args.model, mesh, params=params)
+
+    dataset = HighresImageDataset(args.data_dir)
+    res_out = (2160, 3840)
+    groups: dict = {}
+    skipped = 0
+    for lr, _ in dataset:
+        h, w = lr.shape[:2]
+        scale = max(-(-res_out[0] // h), -(-res_out[1] // w))
+        if scale not in (2, 3, 4, 6):
+            skipped += 1
+            continue
+        groups.setdefault((h, w), []).append(np.asarray(lr))
+    if skipped:
+        print(f"Skipped {skipped} samples with unsupported scales")
+
+    total_images = sum(len(v) for v in groups.values())
+    print(f"Processing {total_images} images in {len(groups)} geometries...")
+    compile_time = total_inference_time = 0.0
+    overall_start = time.time()
+    for geom, images in groups.items():
+        batch = np.stack(images[:1] * n)
+        t0 = time.time()
+        jax.block_until_ready(upscaler.upscale_batch(batch, res_out))
+        compile_time += time.time() - t0
+        for i in range(0, len(images), n):
+            chunk = np.stack(images[i:i + n])
+            t0 = time.time()
+            jax.block_until_ready(upscaler.upscale_batch(chunk, res_out))
+            total_inference_time += time.time() - t0
+    overall_time = time.time() - overall_start
+
+    average = total_inference_time / total_images if total_images else 0.0
+    print(f"Compile time (excluded from per-image stats): {compile_time:.4f} seconds")
+    print(f"Total inference time (sum over images): {total_inference_time:.4f} seconds")
+    print(f"Overall wall-clock time: {overall_time:.4f} seconds")
+    print(f"Average inference time per image: {average:.4f} seconds")
+
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser(
         description="Speed test for TPU Transformer upscaler inference")
@@ -78,4 +134,7 @@ if __name__ == "__main__":
                         help="Model name from the registry")
     parser.add_argument("--checkpoint_dir", type=str, default=None,
                         help="Directory containing model checkpoints (default: models/{model}/checkpoints/)")
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="Shard the image stream over a device mesh of "
+                             "this many chips (-1 = all; 0 = single device)")
     main(parser.parse_args())

@@ -45,7 +45,9 @@ def main(args):
     print(f"Streaming on device: {jax.devices()[0]} | {res_in} -> {res_out}")
 
     pipe = StreamPipeline(args.model, res_in, res_out,
-                          checkpoint_dir=args.checkpoint_dir)
+                          checkpoint_dir=args.checkpoint_dir,
+                          quantize=args.quantize, int8_mlp=args.int8_mlp,
+                          compose_tails=args.fast, pallas_serve=args.fast)
     print(f"checkpoint loaded: {pipe.from_checkpoint}")
     t = pipe.warmup()
     print(f"compiled in {t:.1f}s")
@@ -81,4 +83,12 @@ if __name__ == "__main__":
                         help="Directory of frames (cycled); synthetic if unset")
     parser.add_argument("--frames", type=int, default=50)
     parser.add_argument("--save_last", type=str, default=None)
+    parser.add_argument("--quantize", action="store_true",
+                        help="int8 weight quantization of linear layers")
+    parser.add_argument("--int8_mlp", action="store_true",
+                        help="true int8 MXU path for the transformer MLPs")
+    parser.add_argument("--fast", action="store_true",
+                        help="serving fast path: composed tails + Pallas "
+                             "embed/unembed (border-ring deviation, "
+                             "see PERFORMANCE.md)")
     main(parser.parse_args())

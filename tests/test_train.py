@@ -80,11 +80,6 @@ def test_bucketed_step_matches_per_sample_semantics(tmp_path):
     # The update donates param buffers — copy to host before stepping.
     params_before = jax.tree.map(lambda x: np.array(x), trainer.params)
 
-    # Expected per-sample loss via direct forwards (deterministic=False with
-    # same dropout key as the step would use is hard to align, so use a
-    # dropout-free comparison: WindowTransformer dropout=0.01 -> use
-    # deterministic apply and a trainer step with rate effectively irrelevant
-    # by comparing magnitudes).
     loss = trainer.train_step(samples, jax.random.PRNGKey(0))
     manual = []
     for lr, hr in samples:
@@ -94,3 +89,25 @@ def test_bucketed_step_matches_per_sample_semantics(tmp_path):
         manual.append(float(np.mean(np.abs(np.asarray(out[0]) - hr))))
     # Dropout (rate 0.01) makes this approximate.
     assert abs(loss - np.mean(manual)) < 0.02
+
+
+def test_bucketed_step_exact_without_dropout(tmp_path):
+    """With dropout disabled the bucketed batched loss must equal the exact
+    per-sample mean (tightened from the 0.02 dropout-excused bound)."""
+    import jax
+
+    ds = _TinyDataset(n=5)
+    trainer = Trainer("WindowTransformer", checkpoint_dir=str(tmp_path),
+                      dtype=jnp.float32, dropout=0.0)
+    samples = [ds[i] for i in range(5)]
+    trainer.init_params(samples[0][0].shape[:2], samples[0][1].shape[:2])
+    params_before = jax.tree.map(lambda x: np.array(x), trainer.params)
+
+    loss = trainer.train_step(samples, jax.random.PRNGKey(0))
+    manual = []
+    for lr, hr in samples:
+        out = trainer.model.apply({"params": params_before}, lr[None],
+                                  res_out=hr.shape[:2], require_ratio=False,
+                                  deterministic=True)
+        manual.append(float(np.mean(np.abs(np.asarray(out[0]) - hr))))
+    assert abs(loss - np.mean(manual)) < 1e-6

@@ -40,8 +40,15 @@ def main(args):
         dataset = HighresImageDataset(args.data_dir, scale_pairs=pairs)
 
     dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[args.dtype]
+    mesh = None
+    if args.mesh:
+        from transformerupscaler_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh if args.mesh > 0 else None, tp=args.tp)
+        print(f"Device mesh: {dict(mesh.shape)} (DP gradient all-reduce "
+              f"over ICI; params replicated)")
     trainer = Trainer(args.model, checkpoint_dir=args.checkpoint_dir,
-                      learning_rate=args.lr, dtype=dtype)
+                      learning_rate=args.lr, dtype=dtype, mesh=mesh)
 
     ctx = (jax.profiler.trace(args.trace_dir)
            if args.traceback else contextlib.nullcontext())
@@ -78,6 +85,11 @@ if __name__ == "__main__":
                         help="Restrict training to the small 96x96 scale pairs")
     parser.add_argument("--dtype", choices=["bf16", "f32"], default="bf16",
                         help="Training compute dtype (params and loss stay f32)")
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="Train data-parallel over a device mesh of this "
+                             "many chips (-1 = all devices; 0 = single device)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="Tensor-parallel (model axis) size within the mesh")
     parser.add_argument("--traceback", action="store_true",
                         help="Capture a jax.profiler trace of the run")
     parser.add_argument("--trace_dir", type=str, default="/tmp/tux_trace",

@@ -5,9 +5,19 @@ output-size semantics identical to PyTorch's ``padding=1`` (flax SAME padding
 differs for stride 2).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# Kill-switches for A/B isolation benchmarks (read at trace time):
+#   TUX_CONV_MACRO=0   disable the small-O macro routing
+#   TUX_CONV_PACKED=0  disable the width-2-packed 64->64 routing
+
+
+def _env_on(name: str) -> bool:
+    return os.environ.get(name, "1") not in ("0", "false")
 
 
 def _macro_block(width: int, out_ch: int) -> int:
@@ -38,16 +48,16 @@ def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None,
     5x5 64->12 composed tail measured 5.3 ms direct vs 2.4 ms macro on v5e.
     """
     o = kernel.shape[3]
-    if (auto_macro and stride == 1 and o <= 16
+    if (auto_macro and _env_on("TUX_CONV_MACRO") and stride == 1 and o <= 16
             and kernel.shape[0] == kernel.shape[1]
             and kernel.shape[0] == 2 * padding + 1):
         block = _macro_block(x.shape[2], o)
         if block > 1:
             return conv2d_macro(x, kernel, bias, padding=padding, relu=relu,
                                 block=block)
-    if (auto_macro and stride == 1 and padding == 1
-            and kernel.shape[:2] == (3, 3) and kernel.shape[2] == 64
-            and o == 64 and x.shape[2] % 2 == 0):
+    if (auto_macro and _env_on("TUX_CONV_PACKED") and stride == 1
+            and padding == 1 and kernel.shape[:2] == (3, 3)
+            and kernel.shape[2] == 64 and o == 64 and x.shape[2] % 2 == 0):
         return conv2d_packed2(x, kernel, bias, relu=relu)
     dn = lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
     out = lax.conv_general_dilated(

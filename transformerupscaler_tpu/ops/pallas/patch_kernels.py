@@ -97,7 +97,8 @@ def _unembed_kernel(tok_ref, feat_ref, w_ref, b_ref, out_ref):
         tokens = tok_ref[0, t]  # (Wt, D)
         for i in range(_PS):
             for g in range(_G):
-                y = jnp.dot(tokens, w_ref[i, g], preferred_element_type=dt)
+                y = jnp.dot(tokens, w_ref[i, g],
+                            preferred_element_type=jnp.float32).astype(dt)
                 out_ref[0, t, i, :, g, :] = (
                     y + b_ref[0:1, :] + feat_ref[0, t, i, :, g, :])
 

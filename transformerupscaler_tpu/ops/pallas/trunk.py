@@ -35,6 +35,26 @@ from jax.experimental.pallas import tpu as pltpu
 from transformerupscaler_tpu.ops.relpos import gather_relative_bias
 
 
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 rational erf, |error| <= 1.5e-7 — Mosaic
+    lowers neither erf nor erfc, and 1.5e-7 is far below bf16 resolution."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    """erf-based GELU (torch default, parity target)."""
+    xf = x.astype(jnp.float32)
+    y = 0.5 * xf * (1.0 + _erf(xf * (2.0 ** -0.5)))
+    return y.astype(x.dtype)
+
+
 def _layernorm(x, scale, bias, eps=1e-5):
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -57,7 +77,9 @@ def _trunk_kernel(x_ref, mask_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
         y = _layernorm(x, ln1s[l], ln1b[l]).astype(dt)
         # staged through a scratch ref: Mosaic supports dynamic (pl.ds)
         # indexing on refs but not dynamic_slice on loop-carried values.
-        qkv_scr[:] = jnp.dot(y, qkvw[l], preferred_element_type=dt) + qkvb[l]
+        # All matmuls accumulate in f32 (Mosaic requires 32-bit accs).
+        qkv_scr[:] = (jnp.dot(y, qkvw[l], preferred_element_type=jnp.float32)
+                      .astype(dt) + qkvb[l])
         bias_l = bias_ref[l]  # (heads*n, n) f32
 
         def wbody(w, carry, bias_l=bias_l):
@@ -73,7 +95,8 @@ def _trunk_kernel(x_ref, mask_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
-            o = jnp.dot(p.astype(dt), v, preferred_element_type=dt)
+            o = jnp.dot(p.astype(dt), v,
+                        preferred_element_type=jnp.float32).astype(dt)
             # extract the block-diagonal: each output element has exactly one
             # nonzero head contribution, so the sum is exact.
             ctx = jnp.sum((o * mask).reshape(heads, n, c), axis=0)
@@ -81,12 +104,15 @@ def _trunk_kernel(x_ref, mask_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
             return carry
 
         jax.lax.fori_loop(0, wpc, wbody, 0)
-        attn = jnp.dot(attn_scr[:], projw[l], preferred_element_type=dt)
+        attn = jnp.dot(attn_scr[:], projw[l],
+                       preferred_element_type=jnp.float32).astype(dt)
         x = x + attn + projb[l]
         y2 = _layernorm(x, ln2s[l], ln2b[l]).astype(dt)
-        h1 = jnp.dot(y2, fc1w[l], preferred_element_type=dt) + fc1b[l]
-        h1 = jax.nn.gelu(h1, approximate=False)
-        x = x + jnp.dot(h1, fc2w[l], preferred_element_type=dt) + fc2b[l]
+        h1 = jnp.dot(y2, fc1w[l],
+                     preferred_element_type=jnp.float32).astype(dt) + fc1b[l]
+        h1 = _gelu_exact(h1)
+        x = x + jnp.dot(h1, fc2w[l],
+                        preferred_element_type=jnp.float32).astype(dt) + fc2b[l]
 
     out_ref[:] = x.reshape(wpc, n, c)
 

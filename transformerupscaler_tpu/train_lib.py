@@ -49,9 +49,11 @@ def _next_pow2(n: int) -> int:
 class Trainer:
     def __init__(self, model_name: str, checkpoint_dir: str | None = None,
                  learning_rate: float = 1e-4, dtype=jnp.bfloat16,
-                 attn_impl: str = "xla", mesh=None, root: str = "."):
+                 attn_impl: str = "xla", mesh=None, root: str = ".",
+                 **model_kw):
         self.model_name = model_name
-        self.model = get_model(model_name, dtype=dtype, attn_impl=attn_impl)
+        self.model = get_model(model_name, dtype=dtype, attn_impl=attn_impl,
+                               **model_kw)
         self.checkpoint_dir = checkpoint_dir or default_checkpoint_dir(model_name, root)
         self.optimizer = optax.adam(learning_rate)
         self.mesh = mesh
