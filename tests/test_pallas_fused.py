@@ -81,17 +81,64 @@ def test_fused_patch_kernels_match_xla(rng):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_full_model_pallas_serve_matches_xla():
+def test_fused_conv_kernels_match_xla(rng):
+    """ops/pallas/encoder.py kernels vs the plain conv chain."""
+    from transformerupscaler_tpu.ops.pallas.encoder import (
+        fused_decoder,
+        fused_encoder,
+        macro8_to_nhwc,
+    )
+
+    feat1 = jnp.asarray(rng.standard_normal((1, 24, 48, 64)), jnp.float32)
+    k2 = jnp.asarray(rng.standard_normal((3, 3, 64, 64)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(64) * 0.1, jnp.float32)
+    ka = jnp.asarray(rng.standard_normal((5, 5, 64, 12)) * 0.1, jnp.float32)
+    ba = jnp.asarray(rng.standard_normal(12) * 0.1, jnp.float32)
+    feat_ref = conv2d(feat1, k2, b2, relu=True, auto_macro=False)
+    a_ref = conv2d(feat_ref, ka, ba, padding=2, relu=True, auto_macro=False)
+    feat, a12 = fused_encoder(feat1, k2, b2, ka, ba, relu_a=True)
+    np.testing.assert_allclose(np.asarray(feat), np.asarray(feat_ref),
+                               rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(macro8_to_nhwc(a12)),
+                               np.asarray(a_ref), rtol=1e-4, atol=2e-5)
+
+    kc = jnp.asarray(rng.standard_normal((7, 7, 64, 12)) * 0.05, jnp.float32)
+    bc = jnp.asarray(rng.standard_normal(12) * 0.1, jnp.float32)
+    d1_ref = conv2d(feat1, k2, b2, relu=True, auto_macro=False)
+    b_ref = conv2d(d1_ref, kc, bc, padding=3, auto_macro=False)
+    b12 = macro8_to_nhwc(fused_decoder(feat1, k2, b2, kc, bc))
+    np.testing.assert_allclose(np.asarray(b12), np.asarray(b_ref),
+                               rtol=1e-4, atol=2e-5)
+
+
+def test_full_model_fast_path_matches_composed_xla():
+    """pallas_serve (scale-2 fused conv kernels) must equal the compose_tails
+    XLA path bit-for-bit (same composition, different execution)."""
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(key, (1, 48, 64, 3), jnp.float32)
-    m_x = get_model("FastTransformer", dtype=jnp.float32)
-    m_p = get_model("FastTransformer", dtype=jnp.float32,
-                    attn_impl="fused", pallas_serve=True)
-    params = m_x.init(key, x, res_out=(96, 128))
-    y_x = m_x.apply(params, x, res_out=(96, 128))
-    y_p = m_p.apply(params, x, res_out=(96, 128))
-    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
-                               rtol=1e-4, atol=2e-5)
+    m_c = get_model("FastTransformer", dtype=jnp.float32, compose_tails=True)
+    m_p = get_model("FastTransformer", dtype=jnp.float32, compose_tails=True,
+                    pallas_serve=True)
+    params = m_c.init(key, x, res_out=(72, 96))
+    for kwargs in ({"res_out": (72, 96)},
+                   {"upscale_factor": 2, "require_ratio": False}):
+        y_c = m_c.apply(params, x, **kwargs)
+        y_p = m_p.apply(params, x, **kwargs)
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_c),
+                                   rtol=1e-4, atol=2e-5)
+
+
+def test_fast_path_falls_back_on_unsupported_scale():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (1, 16, 16, 3), jnp.float32)
+    m_c = get_model("FastTransformer", dtype=jnp.float32, compose_tails=True)
+    m_p = get_model("FastTransformer", dtype=jnp.float32, compose_tails=True,
+                    pallas_serve=True)
+    params = m_c.init(key, x, upscale_factor=3)
+    y_c = m_c.apply(params, x, upscale_factor=3, require_ratio=False)
+    y_p = m_p.apply(params, x, upscale_factor=3, require_ratio=False)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_c),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_composed_decoder_tail_interior_exact():

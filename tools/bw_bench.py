@@ -82,8 +82,8 @@ def main():
     probe("XLA add1 (720,1280,64)", lambda v: v + 1, feat_n, bytes_moved=2 * mb)
     probe("pallas add1 (720,640,128) 16-row blocks",
           lambda v: pallas_copy(v, 16), feat_p, bytes_moved=2 * mb)
-    probe("pallas add1 (720,640,128) 48-row blocks",
-          lambda v: pallas_copy(v, 48), feat_p, bytes_moved=2 * mb)
+    probe("pallas add1 (720,640,128) 24-row blocks",
+          lambda v: pallas_copy(v, 24), feat_p, bytes_moved=2 * mb)
 
     # patch embed formulations (feat -> (90,160,192) tokens)
     ke = jax.random.normal(key, (8, 8, 64, 192), dt) * 0.05

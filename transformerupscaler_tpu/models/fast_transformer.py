@@ -48,9 +48,10 @@ class FastTransformer(nn.Module):
     attn_impl: str = "xla"
     int8_mlp: bool = False
     fix_ratio_bug: bool = False
-    # Serving path: route patch embed/unembed(+skip add) through the Pallas
-    # kernels (ops/pallas/patch_kernels.py). Exact; inference-only (the
-    # kernels define no VJP).
+    # Serving fast path: route the conv chains (conv2 + branch A, decoder +
+    # B tail) through the fused Pallas kernels (ops/pallas/encoder.py).
+    # Requires compose_tails; scale-2 geometries with H%8==W%8==0; exact vs
+    # the composed XLA path; inference-only (the kernels define no VJP).
     pallas_serve: bool = False
     # Serving-path speedup: fold each Upsampler's last conv with its commuted
     # RGB tail into one 5x5 conv (~2x on those stages; a 1-pixel ring at
@@ -98,6 +99,16 @@ class FastTransformer(nn.Module):
         res_out, scale = resolve_geometry(x.shape[1:3], res_out, upscale_factor)
         x = x.astype(self.dtype)
 
+        h_feat, w_feat = x.shape[1:3]
+        # Fused-conv fast path (ops/pallas/encoder.py): conv2 + branch A run
+        # in one row-streamed kernel, decoder + B tail in another.
+        fast_convs = (self.pallas_serve and self.compose_tails
+                      and deterministic and not self.is_initializing()
+                      and scale == 2 and self.base_channels == 64
+                      and h_feat % 8 == 0 and w_feat % 8 == 0)
+        if fast_convs:
+            return self._fast_forward(x, res_out, scale, require_ratio)
+
         feat = self.conv2(self.conv1(x))
         h_feat, w_feat = feat.shape[1:3]
 
@@ -130,33 +141,14 @@ class FastTransformer(nn.Module):
                                   return_preshuffle=squash)
 
         # Branch B: transformer over full-res patch tokens (:268-309).
-        use_pallas = (self.pallas_serve and deterministic
-                      and not self.is_initializing()
-                      and not (pad_h or pad_w)
-                      and self.base_channels == 64 and self.patch_size == 8)
-        if use_pallas:
-            from transformerupscaler_tpu.ops.pallas.patch_kernels import (
-                fused_patch_embed,
-                fused_patch_unembed_add,
-            )
-
-            tokens = fused_patch_embed(
-                feat_pad, self.patch_embed_kernel.astype(self.dtype),
-                self.patch_embed_bias)
-            tokens = run_window_trunk(tokens, self.blocks, self.window_size,
-                                      deterministic=deterministic)
-            combined = fused_patch_unembed_add(
-                tokens, feat, self.patch_unembed_kernel.astype(self.dtype),
-                self.patch_unembed_bias)
-        else:
-            tokens = patch_embed(feat_pad, self.patch_embed_kernel,
-                                 self.patch_embed_bias)
-            tokens = run_window_trunk(tokens, self.blocks, self.window_size,
-                                      deterministic=deterministic)
-            feat_trans = patch_unembed(tokens, self.patch_unembed_kernel,
-                                       self.patch_unembed_bias)
-            feat_trans = feat_trans[:, :h_feat, :w_feat, :]
-            combined = feat + feat_trans
+        tokens = patch_embed(feat_pad, self.patch_embed_kernel,
+                             self.patch_embed_bias)
+        tokens = run_window_trunk(tokens, self.blocks, self.window_size,
+                                  deterministic=deterministic)
+        feat_trans = patch_unembed(tokens, self.patch_unembed_kernel,
+                                   self.patch_unembed_bias)
+        feat_trans = feat_trans[:, :h_feat, :w_feat, :]
+        combined = feat + feat_trans
 
         dec = self.decoder_conv1(combined)
         if self.compose_tails and not self.is_initializing():
@@ -186,4 +178,73 @@ class FastTransformer(nn.Module):
         if squash:
             out = resize_shuffled(out, last_shuffle_factor(scale), res_out)
 
+        return jnp.clip(out, 0.0, 1.0)
+
+    # ------------------------------------------------------------------
+    def _fast_forward(self, x, res_out, scale, require_ratio):
+        """Scale-2 serving path on the fused Pallas conv kernels.
+
+        Same math as the compose_tails XLA path (branch A / decoder tails
+        composed; border-ring deviation documented in PERFORMANCE.md), with
+        conv2+branchA and decoder+B-tail each one row-streamed kernel and
+        both branch outputs kept in the r^2-packed macro-8 layout until the
+        final fused squash resize.
+        """
+        from transformerupscaler_tpu.ops.conv import compose_conv3x3_kernels
+        from transformerupscaler_tpu.ops.pallas.encoder import (
+            fused_decoder,
+            fused_encoder,
+            macro8_to_nhwc,
+        )
+        from transformerupscaler_tpu.ops.pixel_shuffle import (
+            commute_conv_through_shuffle,
+            pixel_shuffle,
+        )
+
+        dt = self.dtype
+        feat1 = self.conv1(x)
+        h_feat, w_feat = feat1.shape[1:3]
+        out_hw = (h_feat * scale, w_feat * scale)
+        compare = out_hw if self.fix_ratio_bug else (out_hw[0], out_hw[0])
+        squash = require_ratio and tuple(res_out) != compare
+
+        # Branch A composed kernel: up1 stage conv (64->256) o commuted tail.
+        up = self.up1._params
+        tk = commute_conv_through_shuffle(self.up1_conv_kernel.astype(dt), 2)
+        ka, ba = compose_conv3x3_kernels(
+            up["s2_c0_kernel"].astype(dt), up["s2_c0_bias"].astype(dt),
+            tk, None)
+
+        p2 = self.conv2.variables["params"]
+        feat, a12 = fused_encoder(feat1, p2["kernel"].astype(dt),
+                                  p2["bias"], ka, ba, relu_a=True)
+
+        tokens = patch_embed(feat, self.patch_embed_kernel,
+                             self.patch_embed_bias)
+        tokens = run_window_trunk(tokens, self.blocks, self.window_size,
+                                  deterministic=True)
+        combined = patch_unembed(tokens, self.patch_unembed_kernel,
+                                 self.patch_unembed_bias) + feat
+
+        # Decoder tail: dec2 o (B stage conv o commuted tail)  ->  7x7 64->12.
+        fu = self.final_upscale._params
+        tkb = commute_conv_through_shuffle(
+            self.final_upscale_conv_kernel.astype(dt), 2)
+        tbb = jnp.repeat(self.final_upscale_conv_bias.astype(dt), 4)
+        kb, bb = compose_conv3x3_kernels(
+            fu["s2_c0_kernel"].astype(dt), fu["s2_c0_bias"].astype(dt),
+            tkb, tbb)
+        pd2 = self.decoder_conv2.variables["params"]
+        kc, bc = compose_conv3x3_kernels(
+            pd2["kernel"].astype(dt), pd2["bias"].astype(dt), kb, bb)
+
+        pd1 = self.decoder_conv1.variables["params"]
+        b12 = fused_decoder(combined, pd1["kernel"].astype(dt), pd1["bias"],
+                            kc, bc)
+
+        out12 = macro8_to_nhwc(a12 + b12)
+        if squash:
+            out = resize_shuffled(out12, 2, res_out)
+        else:
+            out = pixel_shuffle(out12, 2)
         return jnp.clip(out, 0.0, 1.0)

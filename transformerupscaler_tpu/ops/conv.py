@@ -16,8 +16,8 @@ from jax import lax
 #   TUX_CONV_PACKED=0  disable the width-2-packed 64->64 routing
 
 
-def _env_on(name: str) -> bool:
-    return os.environ.get(name, "1") not in ("0", "false")
+def _env_on(name: str, default: str = "1") -> bool:
+    return os.environ.get(name, default) not in ("0", "false")
 
 
 def _macro_block(width: int, out_ch: int) -> int:
@@ -55,9 +55,13 @@ def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None,
         if block > 1:
             return conv2d_macro(x, kernel, bias, padding=padding, relu=relu,
                                 block=block)
-    if (auto_macro and _env_on("TUX_CONV_PACKED") and stride == 1
+    if (auto_macro and _env_on("TUX_CONV_PACKED", default="0") and stride == 1
             and padding == 1 and kernel.shape[:2] == (3, 3)
             and kernel.shape[2] == 64 and o == 64 and x.shape[2] % 2 == 0):
+        # Off by default: wins standalone (1.84 vs 2.49 ms on v5e) but the
+        # reshape boundaries break XLA fusion in-context (22.7 vs 19.8 ms
+        # full-model, tools/serve_bench.py). The packed formulation lives on
+        # inside the Pallas kernels (ops/pallas/encoder.py) where it pays off.
         return conv2d_packed2(x, kernel, bias, relu=relu)
     dn = lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
     out = lax.conv_general_dilated(
