@@ -24,6 +24,8 @@ def main(args):
     if args.mesh:
         return main_sharded(args)
 
+    from transformerupscaler_tpu.resolutions import resolutions
+    res_out = resolutions[args.res_out]
     engine = UpscalerEngine(args.model, checkpoint_dir=args.checkpoint_dir)
     if engine.checkpoint_path:
         print(f"Loading checkpoint from: {engine.checkpoint_path}")
@@ -34,7 +36,6 @@ def main(args):
     total_images = len(dataset)
     print(f"Processing {total_images} images...")
 
-    res_out = (2160, 3840)
     total_inference_time = 0.0
     compile_time = 0.0
     seen_geometries = set()
@@ -81,6 +82,8 @@ def main_sharded(args):
     from transformerupscaler_tpu.parallel.batch_infer import ShardedUpscaler
     from transformerupscaler_tpu.parallel.mesh import make_mesh
 
+    from transformerupscaler_tpu.resolutions import resolutions
+    res_out = resolutions[args.res_out]
     mesh = make_mesh(args.mesh if args.mesh > 0 else None)
     n = mesh.shape["data"]
     print(f"Device mesh: {dict(mesh.shape)} — batch-sharded inference")
@@ -89,7 +92,6 @@ def main_sharded(args):
     upscaler = ShardedUpscaler(args.model, mesh, params=params)
 
     dataset = HighresImageDataset(args.data_dir)
-    res_out = (2160, 3840)
     groups: dict = {}
     skipped = 0
     for lr, _ in dataset:
@@ -137,4 +139,8 @@ if __name__ == "__main__":
     parser.add_argument("--mesh", type=int, default=0,
                         help="Shard the image stream over a device mesh of "
                              "this many chips (-1 = all; 0 = single device)")
+    parser.add_argument("--res_out", type=str, default="4k",
+                        help="Output resolution name (reference hardcodes 4K "
+                             "at speed_test.py:64; smaller values keep CI on "
+                             "CPU meshes fast)")
     main(parser.parse_args())

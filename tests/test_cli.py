@@ -96,10 +96,12 @@ def test_train_cli_mesh(workdir):
 
 
 def test_speed_test_cli_mesh(workdir):
+    # --res_out 1080 keeps the 8-way CPU mesh run fast (4K outputs on a
+    # single-core CPU mesh take ~15 min); the mesh/sharding path is identical.
     r = _run_mesh([os.path.join(REPO, "speed_test.py"),
                    "--model", "BicubicInterpolation",
                    "--data_dir", str(workdir / "imgs"),
-                   "--mesh", "-1"], cwd=str(workdir))
+                   "--mesh", "-1", "--res_out", "1080"], cwd=str(workdir))
     assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]
     assert "'data': 8" in r.stdout
     assert "Average inference time per image" in r.stdout

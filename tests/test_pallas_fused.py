@@ -154,3 +154,76 @@ def test_composed_decoder_tail_interior_exact():
     y_c = m_c.apply(params, x, upscale_factor=2, require_ratio=False)
     diff = np.abs(np.asarray(y_x) - np.asarray(y_c))[:, 16:-16, 16:-16]
     assert diff.max() < 3e-5
+
+
+def test_conv2d_tail_packed_matches_plain(rng):
+    """Stride-4 macro-8 tail conv on the packed layout == plain tail conv."""
+    from transformerupscaler_tpu.ops.conv import conv2d_tail_packed
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 64, 64)), jnp.float32)
+    for kw, co in ((5, 12), (7, 12), (3, 3)):
+        k = jnp.asarray(rng.standard_normal((kw, kw, 64, co)) * 0.1,
+                        jnp.float32)
+        b = jnp.asarray(rng.standard_normal(co), jnp.float32)
+        ref = conv2d(x, k, b, padding=(kw - 1) // 2, relu=True,
+                     auto_macro=False)
+        xp = x.reshape(2, 16, 32, 128)
+        got = conv2d_tail_packed(xp, k, b, relu=True)
+        got = got.reshape(2, 16, 64, co)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_packed_patch_embed_unembed(rng):
+    from transformerupscaler_tpu.ops.patch import (
+        patch_embed,
+        patch_embed_packed,
+        patch_unembed,
+        patch_unembed_packed,
+    )
+
+    x = jnp.asarray(rng.standard_normal((1, 32, 48, 64)), jnp.float32)
+    ke = jnp.asarray(rng.standard_normal((8, 8, 64, 192)) * 0.05, jnp.float32)
+    be = jnp.asarray(rng.standard_normal(192), jnp.float32)
+    ref = patch_embed(x, ke, be)
+    got = patch_embed_packed(x.reshape(1, 32, 24, 128), ke, be)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    ku = jnp.asarray(rng.standard_normal((192, 8, 8, 64)) * 0.05, jnp.float32)
+    bu = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    ref2 = patch_unembed(ref, ku, bu)
+    got2 = patch_unembed_packed(ref, ku, bu)
+    np.testing.assert_allclose(
+        np.asarray(got2.reshape(1, 32, 48, 64)), np.asarray(ref2),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_full_model_packed_path_matches_composed_xla():
+    """packed_serve (all-XLA width-2-packed pipeline) must equal the
+    compose_tails path (same composition, packed execution)."""
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (1, 48, 64, 3), jnp.float32)
+    m_c = get_model("FastTransformer", dtype=jnp.float32, compose_tails=True)
+    m_p = get_model("FastTransformer", dtype=jnp.float32, compose_tails=True,
+                    packed_serve=True)
+    params = m_c.init(key, x, res_out=(72, 96))
+    for kwargs in ({"res_out": (72, 96)},
+                   {"upscale_factor": 2, "require_ratio": False}):
+        y_c = m_c.apply(params, x, **kwargs)
+        y_p = m_p.apply(params, x, **kwargs)
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_c),
+                                   rtol=1e-4, atol=2e-5)
+
+
+def test_packed_path_falls_back_on_unsupported_scale():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (1, 16, 16, 3), jnp.float32)
+    m_c = get_model("FastTransformer", dtype=jnp.float32, compose_tails=True)
+    m_p = get_model("FastTransformer", dtype=jnp.float32, compose_tails=True,
+                    packed_serve=True)
+    params = m_c.init(key, x, upscale_factor=3)
+    y_c = m_c.apply(params, x, upscale_factor=3, require_ratio=False)
+    y_p = m_p.apply(params, x, upscale_factor=3, require_ratio=False)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_c),
+                               rtol=1e-5, atol=1e-6)

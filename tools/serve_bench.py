@@ -80,10 +80,13 @@ def main():
         probe("full model compose + pallas embed/unembed", full(m),
               params, x, K)
     for name in which:
-        if name.startswith("batch"):
-            nb = int(name[5:])
+        # batchN  -> compose path at batch N;  pbatchN -> pallas path.
+        if name.startswith("batch") or name.startswith("pbatch"):
+            pall = name.startswith("pbatch")
+            nb = int(name[6:] if pall else name[5:])
             xb = jax.random.uniform(key, (nb, 720, 1280, 3), dt)
-            m = get_model("FastTransformer", dtype=dt, compose_tails=True)
+            m = get_model("FastTransformer", dtype=dt, compose_tails=True,
+                          pallas_serve=pall)
 
             def apply_b(pp, v, m=m):
                 return m.apply(pp, v, res_out=res_out)
@@ -93,8 +96,8 @@ def main():
             _ = np.asarray(fK(params, xb))
             t1, tK = timed(f1, params, xb), timed(fK, params, xb)
             per = (tK - t1) / (K - 1)
-            print(f"{'full model compose batch=' + str(nb):52s} "
-                  f"{per * 1e3:8.3f} ms  "
+            label = ("pallas" if pall else "compose") + f" batch={nb}"
+            print(f"{'full model ' + label:52s} {per * 1e3:8.3f} ms  "
                   f"{nb / per:8.2f} fps aggregate", flush=True)
     if "trunkfused" in which:
         m = get_model("FastTransformer", dtype=dt, compose_tails=True,

@@ -28,9 +28,15 @@ def main(args):
 
     from transformerupscaler_tpu.resolutions import SCALE_PAIRS
 
-    pairs = (
-        [p for p in SCALE_PAIRS if p["lr"] == (96, 96)]
-        if args.pairs == "small" else None)
+    if args.pairs == "small":
+        pairs = [p for p in SCALE_PAIRS if p["lr"] == (96, 96)]
+    elif args.pairs == "720":
+        # ResidualTransformer's pos_embed is baked to 720p inputs
+        # (reference ResidualTransformer/model.py:99) — train on the three
+        # 720p->{1080p,1440p,4K} pairs only.
+        pairs = [p for p in SCALE_PAIRS if p["lr"] == (720, 1280)]
+    else:
+        pairs = None
     if args.data_dir is None:
         dataset = OnlineHighresDataset(fallback_dir=args.fallback_dir)
         if pairs is not None:
@@ -81,8 +87,10 @@ if __name__ == "__main__":
                         help="Model name from the registry")
     parser.add_argument("--checkpoint_dir", type=str, default=None,
                         help="Directory to save model checkpoints (default: models/{model}/checkpoints/)")
-    parser.add_argument("--pairs", choices=["all", "small"], default="all",
-                        help="Restrict training to the small 96x96 scale pairs")
+    parser.add_argument("--pairs", choices=["all", "small", "720"],
+                        default="all",
+                        help="Restrict training to the small 96x96 pairs or "
+                             "the 720p-input pairs (ResidualTransformer)")
     parser.add_argument("--dtype", choices=["bf16", "f32"], default="bf16",
                         help="Training compute dtype (params and loss stay f32)")
     parser.add_argument("--mesh", type=int, default=0,

@@ -53,6 +53,12 @@ class FastTransformer(nn.Module):
     # Requires compose_tails; scale-2 geometries with H%8==W%8==0; exact vs
     # the composed XLA path; inference-only (the kernels define no VJP).
     pallas_serve: bool = False
+    # All-XLA packed serving path: the whole pipeline rides the width-2
+    # pixel-packed layout (H, W/2, 2C) — every conv fills all 128 MXU lanes,
+    # composed tails become stride-4 macro-8 convs, and patch embed/unembed
+    # read/write the packed layout directly via permuted kernels, so there
+    # are ZERO layout changes between ops. Same math as compose_tails.
+    packed_serve: bool = False
     # Serving-path speedup: fold each Upsampler's last conv with its commuted
     # RGB tail into one 5x5 conv (~2x on those stages; a 1-pixel ring at
     # feature resolution deviates from the exact sequential form).
@@ -108,6 +114,10 @@ class FastTransformer(nn.Module):
                       and h_feat % 8 == 0 and w_feat % 8 == 0)
         if fast_convs:
             return self._fast_forward(x, res_out, scale, require_ratio)
+        if (self.packed_serve and self.compose_tails and deterministic
+                and not self.is_initializing() and scale == 2
+                and h_feat % self.patch_size == 0 and w_feat % 16 == 0):
+            return self._packed_forward(x, res_out, scale, require_ratio)
 
         feat = self.conv2(self.conv1(x))
         h_feat, w_feat = feat.shape[1:3]
@@ -243,6 +253,85 @@ class FastTransformer(nn.Module):
                             kc, bc)
 
         out12 = macro8_to_nhwc(a12 + b12)
+        if squash:
+            out = resize_shuffled(out12, 2, res_out)
+        else:
+            out = pixel_shuffle(out12, 2)
+        return jnp.clip(out, 0.0, 1.0)
+
+    # ------------------------------------------------------------------
+    def _packed_forward(self, x, res_out, scale, require_ratio):
+        """Scale-2 all-XLA serving path on the width-2-packed layout.
+
+        Same math as the compose_tails path (composed branch tails; 1-pixel
+        border-ring deviation documented in PERFORMANCE.md), but every
+        intermediate stays (B, H, W/2, 2C): convs via conv2d_packed_raw
+        (all 128 lanes busy), composed tails via stride-4 macro-8 convs,
+        patch embed/unembed via permuted-kernel GEMMs on the packed layout.
+        No Mosaic involvement — compiles like any XLA program.
+        """
+        from transformerupscaler_tpu.ops.conv import (
+            compose_conv3x3_kernels,
+            conv2d_packed_raw,
+            conv2d_tail_packed,
+        )
+        from transformerupscaler_tpu.ops.patch import (
+            patch_embed_packed,
+            patch_unembed_packed,
+        )
+        from transformerupscaler_tpu.ops.pixel_shuffle import (
+            commute_conv_through_shuffle,
+            pixel_shuffle,
+        )
+
+        dt = self.dtype
+        b, h, w, cin = x.shape
+        xp = x.reshape(b, h, w // 2, 2 * cin)
+
+        p1 = self.conv1.variables["params"]
+        feat1 = conv2d_packed_raw(xp, p1["kernel"].astype(dt), p1["bias"],
+                                  relu=True)
+        p2 = self.conv2.variables["params"]
+        featp = conv2d_packed_raw(feat1, p2["kernel"].astype(dt), p2["bias"],
+                                  relu=True)
+
+        out_hw = (h * scale, w * scale)
+        compare = out_hw if self.fix_ratio_bug else (out_hw[0], out_hw[0])
+        squash = require_ratio and tuple(res_out) != compare
+
+        # Branch A composed kernel: up1 stage conv o commuted RGB tail.
+        up = self.up1._params
+        tk = commute_conv_through_shuffle(self.up1_conv_kernel.astype(dt), 2)
+        ka, ba = compose_conv3x3_kernels(
+            up["s2_c0_kernel"].astype(dt), up["s2_c0_bias"].astype(dt),
+            tk, None)
+        a12 = conv2d_tail_packed(featp, ka, ba, relu=True)
+
+        tokens = patch_embed_packed(featp, self.patch_embed_kernel,
+                                    self.patch_embed_bias)
+        tokens = run_window_trunk(tokens, self.blocks, self.window_size,
+                                  deterministic=True)
+        combined = patch_unembed_packed(tokens, self.patch_unembed_kernel,
+                                        self.patch_unembed_bias) + featp
+
+        pd1 = self.decoder_conv1.variables["params"]
+        dec = conv2d_packed_raw(combined, pd1["kernel"].astype(dt),
+                                pd1["bias"], relu=True)
+
+        # Decoder tail: dec2 o (B stage conv o commuted tail) -> 7x7 64->12.
+        fu = self.final_upscale._params
+        tkb = commute_conv_through_shuffle(
+            self.final_upscale_conv_kernel.astype(dt), 2)
+        tbb = jnp.repeat(self.final_upscale_conv_bias.astype(dt), 4)
+        kb, bb = compose_conv3x3_kernels(
+            fu["s2_c0_kernel"].astype(dt), fu["s2_c0_bias"].astype(dt),
+            tkb, tbb)
+        pd2 = self.decoder_conv2.variables["params"]
+        kc, bc = compose_conv3x3_kernels(
+            pd2["kernel"].astype(dt), pd2["bias"].astype(dt), kb, bb)
+        b12 = conv2d_tail_packed(dec, kc, bc)
+
+        out12 = (a12 + b12).reshape(b, h, w, 12)
         if squash:
             out = resize_shuffled(out12, 2, res_out)
         else:

@@ -76,6 +76,61 @@ def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None,
     return out
 
 
+def pack_kernel_width2(kernel: jnp.ndarray) -> jnp.ndarray:
+    """(kh, kw, Cin, Cout) HWIO -> (kh, (kw+3)//2+..., 2Cin, 2Cout) width-2
+    packed kernel for same-pad odd-width convs (exact; extra slots zero).
+
+    Output pixel 2*w2+pxo at packed col w2 takes input pixel 2*(w2+Xp-off)+pxi
+    at tap dx = 2*(Xp-off) + pxi - pxo + ... (see loop); ``off`` packed cols
+    of zero padding on each side cover the pixel-domain halo.
+    """
+    kh, kw, cin, cout = kernel.shape
+    pad = (kw - 1) // 2
+    # tap dx in [-pad, pad]; out pixel = 2*c0 + pxo (c0 = center packed
+    # col); input pixel 2*c0 + pxo + dx -> packed col c0 + floor((pxo+dx)/2),
+    # parity (pxo+dx) % 2.
+    jmin = (0 - pad) // 2  # floor over pxo in {0,1}, dx in [-pad, pad]
+    jmax = (1 + pad) // 2
+    kwp = jmax - jmin + 1
+    kp = jnp.zeros((kh, kwp, 2 * cin, 2 * cout), kernel.dtype)
+    for pxo in range(2):
+        for dx in range(-pad, pad + 1):
+            t = pxo + dx
+            j = (t - (t % 2)) // 2 - jmin  # floor division for negatives
+            pxi = t % 2
+            kp = kp.at[:, j, pxi * cin:(pxi + 1) * cin,
+                       pxo * cout:(pxo + 1) * cout].add(kernel[:, dx + pad])
+    return kp
+
+
+def conv2d_packed_raw(xp: jnp.ndarray, kernel: jnp.ndarray,
+                      bias: jnp.ndarray | None = None,
+                      relu: bool = False) -> jnp.ndarray:
+    """Same-pad odd conv on an ALREADY width-2-packed input.
+
+    xp: (B, H, W/2, 2Cin); kernel: raw HWIO (kh, kw, Cin, Cout).
+    Returns packed output (B, H, W/2, 2Cout). Exact (zero-filled extra
+    kernel slots). Height uses normal zero padding; width halo rides
+    packed-col zero padding.
+    """
+    kh, kw, cin, cout = kernel.shape
+    pad_h = (kh - 1) // 2
+    pad = (kw - 1) // 2
+    jmin = (0 - pad) // 2
+    jmax = (1 + pad) // 2
+    kp = pack_kernel_width2(kernel).astype(xp.dtype)
+    dn = lax.conv_dimension_numbers(xp.shape, kp.shape, ("NHWC", "HWIO", "NHWC"))
+    out = lax.conv_general_dilated(
+        xp, kp, (1, 1), ((pad_h, pad_h), (-jmin, jmax)),
+        dimension_numbers=dn,
+    ).astype(xp.dtype)
+    if bias is not None:
+        out = out + jnp.tile(bias.astype(xp.dtype), 2)
+    if relu:
+        out = jax.nn.relu(out)
+    return out
+
+
 def conv2d_packed2(x: jnp.ndarray, kernel: jnp.ndarray,
                    bias: jnp.ndarray | None = None,
                    relu: bool = False) -> jnp.ndarray:
@@ -89,27 +144,66 @@ def conv2d_packed2(x: jnp.ndarray, kernel: jnp.ndarray,
 
     Exact: every extra kernel slot is zero.
     """
-    kh, kw, cin, cout = kernel.shape
-    b, h, w, _ = x.shape
-    kp = jnp.zeros((kh, 3, 2 * cin, 2 * cout), kernel.dtype)
-    # output pixel 2*w2+pxo takes input pixel 2*(w2+Xp-1)+pxi at tap
-    # dx = 2*Xp - 1 + pxi - pxo (valid when 0 <= dx < 3).
-    for Xp in range(3):
-        for pxi in range(2):
-            for pxo in range(2):
-                dx = 2 * Xp - 1 + pxi - pxo
-                if 0 <= dx < kw:
-                    kp = kp.at[:, Xp, pxi * cin:(pxi + 1) * cin,
-                               pxo * cout:(pxo + 1) * cout].set(kernel[:, dx])
+    b, h, w, cin = x.shape
+    cout = kernel.shape[3]
     xp = x.reshape(b, h, w // 2, 2 * cin)
+    out = conv2d_packed_raw(xp, kernel, bias=bias, relu=relu)
+    return out.reshape(b, h, w, cout)
+
+
+def pack_tail_stride4(kernel: jnp.ndarray) -> jnp.ndarray:
+    """Composed-tail kernel (kh, kw, Cin, co) -> stride-4 packed-layout
+    kernel (kh, kwp, 2Cin, 8*co) producing macro-8 outputs.
+
+    Output block b covers pixels 8b..8b+7; out lane s*co + o is sub-pixel s.
+    Input pixel 8b+s+dx (dx in [-pad, pad]) lives at packed col
+    4b + floor((s+dx)/2), parity (s+dx) % 2. The conv runs with stride
+    (1, 4) over packed cols with boff cols of left zero padding.
+    """
+    kh, kw, cin, co = kernel.shape
+    pad = (kw - 1) // 2
+    boff = (pad + 1) // 2  # = -floor((0-pad)/2)
+    jmax = (7 + pad) // 2
+    kwp = jmax + boff + 1
+    kp = jnp.zeros((kh, kwp, 2 * cin, 8 * co), kernel.dtype)
+    for s in range(8):
+        for dx in range(-pad, pad + 1):
+            t = s + dx
+            j = (t - (t % 2)) // 2 + boff
+            pxi = t % 2
+            kp = kp.at[:, j, pxi * cin:(pxi + 1) * cin,
+                       s * co:(s + 1) * co].add(kernel[:, dx + pad])
+    return kp
+
+
+def conv2d_tail_packed(xp: jnp.ndarray, kernel: jnp.ndarray,
+                       bias: jnp.ndarray | None = None,
+                       relu: bool = False) -> jnp.ndarray:
+    """Small-output composed tail on the packed layout: one stride-(1, 4)
+    conv producing macro-8 outputs (all 8*co lanes busy, 128-lane input
+    streams at full HBM rate).
+
+    xp: (B, H, W/2, 2Cin) packed features; kernel: raw (kh, kw, Cin, co).
+    Returns (B, H, W/8, 8*co); reshape to (B, H, W, co) is free.
+    """
+    kh, kw, cin, co = kernel.shape
+    pad_h = (kh - 1) // 2
+    pad = (kw - 1) // 2
+    boff = (pad + 1) // 2
+    jmax = (7 + pad) // 2
+    kwp = jmax + boff + 1
+    kp = pack_tail_stride4(kernel).astype(xp.dtype)
+    # Right padding: last block b=WB-1 reads cols 4b-boff .. 4b-boff+kwp-1;
+    # 4(WB-1)+kwp-boff-1 <= WP2-1+pad_r.
+    wp2 = xp.shape[2]
+    pad_r = kwp - boff - 4
     dn = lax.conv_dimension_numbers(xp.shape, kp.shape, ("NHWC", "HWIO", "NHWC"))
     out = lax.conv_general_dilated(
-        xp, kp.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        xp, kp, (1, 4), ((pad_h, pad_h), (boff, max(pad_r, 0))),
         dimension_numbers=dn,
-    ).astype(x.dtype)
-    out = out.reshape(b, h, w, cout)
+    ).astype(xp.dtype)
     if bias is not None:
-        out = out + bias.astype(x.dtype)
+        out = out + jnp.tile(bias.astype(xp.dtype), 8)
     if relu:
         out = jax.nn.relu(out)
     return out

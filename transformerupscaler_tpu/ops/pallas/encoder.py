@@ -68,16 +68,19 @@ def pack_tail_macro8(kernel) -> tuple[jnp.ndarray, int]:
     pad = (kw - 1) // 2
     boff = (pad + 1) // 2
     wcols = (7 + kw - 1 - pad) // 2 + boff + 1
-    kp = np.zeros((kh, wcols, 128, 8 * co), np.float32)
-    kn = np.asarray(kernel, np.float32)
+    # jnp (not numpy) so the packing traces under jit: the weights are
+    # runtime args of the serving function. For fixed s the (c, pxi) slots
+    # are distinct across dx0, so .set == the reference's +=.
+    kp = jnp.zeros((kh, wcols, 128, 8 * co), jnp.float32)
+    kn = jnp.asarray(kernel, jnp.float32)
     for s in range(8):
         for dx0 in range(kw):
             t = s + dx0 - pad
             c = (t - (t % 2)) // 2 + boff  # floor division for negatives
             pxi = t % 2
-            kp[:, c, pxi * 64:(pxi + 1) * 64,
-               s * co:(s + 1) * co] += kn[:, dx0]
-    return jnp.asarray(kp), boff
+            kp = kp.at[:, c, pxi * 64:(pxi + 1) * 64,
+                       s * co:(s + 1) * co].add(kn[:, dx0])
+    return kp, boff
 
 
 def _conv3_packed(slab, w_ref, rows, wp2, bias_ref, relu):

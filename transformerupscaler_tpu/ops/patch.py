@@ -33,6 +33,47 @@ def patch_embed(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = 
     return out
 
 
+def patch_embed_packed(xp: jnp.ndarray, kernel: jnp.ndarray,
+                       bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """patch_embed on a width-2-packed input (B, H, W/2, 2C) without ever
+    unpacking: the patch reshape groups (ps rows, ps/2 packed cols, 2C lanes)
+    and the embed kernel rows are permuted to the packed element order
+    (trace-time, free). Bit-identical reduction set to ``patch_embed``.
+    """
+    ps, _, c, d = kernel.shape
+    b, h, wp2, c2 = xp.shape
+    psp = ps // 2
+    ht, wt = h // ps, wp2 // psp
+    patches = xp.reshape(b, ht, ps, wt, psp, c2).transpose(0, 1, 3, 2, 4, 5)
+    patches = patches.reshape(b, ht, wt, ps * ps * c)
+    # packed element (row, pcol, pxi*c + ch) == pixel (row, 2*pcol + pxi, ch)
+    kperm = kernel.reshape(ps, psp, 2, c, d).astype(xp.dtype)
+    kperm = kperm.reshape(ps * ps * c, d)
+    out = jnp.einsum("bhwp,pd->bhwd", patches, kperm)
+    if bias is not None:
+        out = out + bias.astype(xp.dtype)
+    return out
+
+
+def patch_unembed_packed(tokens: jnp.ndarray, kernel: jnp.ndarray,
+                         bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """patch_unembed producing width-2-packed output (B, Ht*ps, Wt*ps/2, 2C):
+    the GEMM output columns are ordered (row, packed col, parity, channel) by
+    a trace-time kernel permutation; the inverse block reshape lands directly
+    in the packed layout."""
+    d, ps, _, c = kernel.shape
+    b, ht, wt, _ = tokens.shape
+    psp = ps // 2
+    kperm = kernel.reshape(d, ps, psp, 2, c).astype(tokens.dtype)
+    kperm = kperm.reshape(d, ps * ps * c)
+    out = jnp.einsum("bhwd,dp->bhwp", tokens, kperm)
+    out = out.reshape(b, ht, wt, ps, psp, 2 * c).transpose(0, 1, 3, 2, 4, 5)
+    out = out.reshape(b, ht * ps, wt * psp, 2 * c)
+    if bias is not None:
+        out = out + jnp.tile(bias.astype(tokens.dtype), 2)
+    return out
+
+
 def patch_unembed(tokens: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None) -> jnp.ndarray:
     """(B, Ht, Wt, D) -> (B, Ht*ps, Wt*ps, C)."""
     d, ps, _, c = kernel.shape
