@@ -35,7 +35,11 @@ def main():
     log(f"bench device: {dev}")
 
     res_out = (1080, 1920)
-    model = get_model("FastTransformer", dtype=jnp.bfloat16, compose_tails=True)
+    # Serving fast path: composed branch tails on the all-XLA width-2-packed
+    # pipeline (measured 14.2 ms vs 20.3 compose / 28.6 round-1 on v5e;
+    # border-ring deviation documented in PERFORMANCE.md).
+    model = get_model("FastTransformer", dtype=jnp.bfloat16,
+                      compose_tails=True, packed_serve=True)
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(key, (1, 720, 1280, 3), jnp.bfloat16)
 

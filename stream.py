@@ -47,7 +47,7 @@ def main(args):
     pipe = StreamPipeline(args.model, res_in, res_out,
                           checkpoint_dir=args.checkpoint_dir,
                           quantize=args.quantize, int8_mlp=args.int8_mlp,
-                          compose_tails=args.fast, pallas_serve=args.fast)
+                          compose_tails=args.fast, packed_serve=args.fast)
     print(f"checkpoint loaded: {pipe.from_checkpoint}")
     t = pipe.warmup()
     print(f"compiled in {t:.1f}s")
@@ -88,7 +88,7 @@ if __name__ == "__main__":
     parser.add_argument("--int8_mlp", action="store_true",
                         help="true int8 MXU path for the transformer MLPs")
     parser.add_argument("--fast", action="store_true",
-                        help="serving fast path: composed tails + Pallas "
-                             "embed/unembed (border-ring deviation, "
-                             "see PERFORMANCE.md)")
+                        help="serving fast path: composed tails on the "
+                             "all-XLA width-2-packed pipeline (border-ring "
+                             "deviation, see PERFORMANCE.md)")
     main(parser.parse_args())

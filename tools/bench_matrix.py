@@ -12,8 +12,9 @@ Usage:
     python tools/bench_matrix.py [--models A,B] [--scales 2,3] [--k 6]
         [--serve xla|fast] [--json out.json]
 
-``--serve fast`` enables the serving fast path (compose_tails +
-fused trunk + pallas embed/unembed); ``xla`` is the exact reference path.
+``--serve fast`` enables the serving fast path (compose_tails + the
+all-XLA packed pipeline, FastTransformer only); ``xla`` is the exact
+reference path.
 """
 
 import argparse
@@ -34,23 +35,7 @@ MODELS = ["BicubicInterpolation", "ResidualTransformer", "WindowTransformer",
 SCALES = [2, 3, 4, 6]
 
 
-def chained(apply_fn, M):
-    def fn(p, x):
-        def body(i, carry):
-            y = apply_fn(p, carry)
-            s = jnp.sum(y.astype(jnp.float32))
-            return carry * (1.0 + 0.0 * s.astype(carry.dtype))
-        return jnp.ravel(lax.fori_loop(0, M, body, x))[0]
-    return jax.jit(fn)
-
-
-def timed(fn, params, x, n=4):
-    ts = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        _ = np.asarray(fn(params, x))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
+from tools.probe_lib import probe  # noqa: E402 — one compile per config
 
 
 def bench_one(model_name, scale, serve, K):
@@ -59,7 +44,7 @@ def bench_one(model_name, scale, serve, K):
     dt = jnp.bfloat16
     kw = {}
     if serve == "fast":
-        kw = dict(compose_tails=True, attn_impl="fused", pallas_serve=True)
+        kw = dict(compose_tails=True, packed_serve=True)
     model = get_model(model_name, dtype=dt, **kw)
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(key, (1, 720, 1280, 3), dt)
@@ -71,11 +56,7 @@ def bench_one(model_name, scale, serve, K):
             return model.apply(p, v, res_out=(720 * scale, 1280 * scale))
         return model.apply(p, v, upscale_factor=scale)
 
-    f1, fK = chained(apply, 1), chained(apply, K)
-    _ = np.asarray(f1(params, x))
-    _ = np.asarray(fK(params, x))
-    t1, tK = timed(f1, params, x), timed(fK, params, x)
-    per = (tK - t1) / (K - 1)
+    per = probe(f"{model_name} x{scale}", apply, params, x, K, log=None)
     return 1.0 / per, per * 1e3
 
 
@@ -88,6 +69,7 @@ def main():
     ap.add_argument("--json", type=str, default=None)
     args = ap.parse_args()
 
+    import transformerupscaler_tpu  # noqa: F401 — applies the TUX_PLATFORM hook
     print(f"device: {jax.devices()[0]}  serve={args.serve}", flush=True)
     rows = []
     for model_name in args.models.split(","):

@@ -35,11 +35,12 @@ class UpscalerEngine:
                  params=None, dtype=jnp.float32, attn_impl: str = "xla",
                  quantize: bool = False, root: str = ".", donate: bool = False,
                  compose_tails: bool = False, int8_mlp: bool = False,
-                 pallas_serve: bool = False):
+                 pallas_serve: bool = False, packed_serve: bool = False):
         self.model_name = model_name
         self.model = get_model(model_name, dtype=dtype, attn_impl=attn_impl,
                                compose_tails=compose_tails, int8_mlp=int8_mlp,
-                               pallas_serve=pallas_serve)
+                               pallas_serve=pallas_serve,
+                               packed_serve=packed_serve)
         self.dtype = dtype
         self._donate = donate
         self._cache: dict = {}
