@@ -67,3 +67,43 @@ def test_int8_mlp_model_path(rng):
     b = np.asarray(q8.apply(params, x, res_out=(64, 64)))
     assert not np.array_equal(a, b)      # quantization engaged
     assert np.abs(a - b).max() < 0.05    # but stays close
+
+
+def test_int8_serve_close_to_f32():
+    """int8_serve (packed path, dynamic act quant) tracks the f32 compose
+    output within quantization error."""
+    import jax
+    import jax.numpy as jnp
+    from transformerupscaler_tpu.registry import get_model
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (1, 48, 64, 3), jnp.float32)
+    m_c = get_model("FastTransformer", dtype=jnp.float32, compose_tails=True)
+    m_q = get_model("FastTransformer", dtype=jnp.float32, compose_tails=True,
+                    int8_serve=True)
+    params = m_c.init(key, x, res_out=(72, 96))
+    y_c = np.asarray(m_c.apply(params, x, res_out=(72, 96)))
+    y_q = np.asarray(m_q.apply(params, x, res_out=(72, 96)))
+    diff = np.abs(y_c - y_q)
+    assert diff.mean() < 0.01, diff.mean()
+    assert diff.max() < 0.2, diff.max()
+
+
+def test_int8_serve_static_calibration(tmp_path):
+    """Engine calibration bakes static scales; static output stays close to
+    the dynamic-quant output on the calibration frame."""
+    import jax.numpy as jnp
+    from transformerupscaler_tpu.infer_lib import UpscalerEngine
+
+    rng = np.random.default_rng(0)
+    img = rng.random((48, 64, 3)).astype(np.float32)
+    eng = UpscalerEngine("FastTransformer", checkpoint_dir=str(tmp_path),
+                         dtype=jnp.float32, compose_tails=True,
+                         int8_serve=True)
+    y_dyn = eng.upscale(img, res_out=(72, 96))
+    scales = eng.calibrate_int8(img, res_out=(72, 96))
+    assert len(scales) == 4 and all(s > 0 for s in scales)
+    assert eng.model.int8_scales == scales
+    y_stat = eng.upscale(img, res_out=(72, 96))
+    # margin=1.25 shifts quant grids; outputs agree to quant error.
+    assert np.abs(y_dyn - y_stat).mean() < 0.01

@@ -32,7 +32,12 @@ def chained_dyn(apply_fn):
             # fabricating 50x-too-fast numbers (measured). abs is nonlinear,
             # so the whole op must execute.
             s = jnp.sum(jnp.abs(y.astype(jnp.float32)))
-            return carry * (1.0 + 0.0 * s.astype(carry.dtype))
+            # (s != s) is always 0 (False) but NOT foldable — it is an isnan
+            # check, so the simplifier must keep the computation of s. This
+            # form also keeps integer carries integer (so ops whose output
+            # dtype differs from their input, e.g. int8-chain convs, probe
+            # with a requant wrapper instead of breaking the carry type).
+            return carry + (s != s).astype(carry.dtype)
         return jnp.ravel(lax.fori_loop(0, m, body, x))[0]
 
     return jax.jit(fn)

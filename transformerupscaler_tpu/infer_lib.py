@@ -35,12 +35,14 @@ class UpscalerEngine:
                  params=None, dtype=jnp.float32, attn_impl: str = "xla",
                  quantize: bool = False, root: str = ".", donate: bool = False,
                  compose_tails: bool = False, int8_mlp: bool = False,
-                 pallas_serve: bool = False, packed_serve: bool = False):
+                 pallas_serve: bool = False, packed_serve: bool = False,
+                 int8_serve: bool = False):
         self.model_name = model_name
-        self.model = get_model(model_name, dtype=dtype, attn_impl=attn_impl,
-                               compose_tails=compose_tails, int8_mlp=int8_mlp,
-                               pallas_serve=pallas_serve,
-                               packed_serve=packed_serve)
+        self._model_kwargs = dict(
+            dtype=dtype, attn_impl=attn_impl, compose_tails=compose_tails,
+            int8_mlp=int8_mlp, pallas_serve=pallas_serve,
+            packed_serve=packed_serve, int8_serve=int8_serve)
+        self.model = get_model(model_name, **self._model_kwargs)
         self.dtype = dtype
         self._donate = donate
         self._cache: dict = {}
@@ -125,6 +127,45 @@ class UpscalerEngine:
             return out[0] if squeeze else out
         out = np.asarray(jax.device_get(out)).astype(np.float32)
         return out[0] if squeeze else out
+
+    def calibrate_int8(self, image: np.ndarray, res_out=None,
+                       upscale_factor=None, require_ratio: bool = True,
+                       margin: float = 1.25) -> tuple:
+        """Static int8 activation calibration (int8_serve engines only).
+
+        Runs one dynamic-quant forward on a representative frame, harvests
+        the sown per-tensor activation scales, pads them by ``margin``
+        (headroom against brighter frames clipping), and rebuilds the model
+        with the scales baked in as trace-time constants — the quantize steps
+        then fuse into the producer conv epilogues instead of costing an
+        abs-max pass each. Returns the scale tuple.
+        """
+        x = np.asarray(image)
+        if x.dtype == np.uint8:
+            x = x.astype(np.float32) / 255.0
+        if x.ndim == 3:
+            x = x[None]
+        xj = jnp.asarray(x, dtype=self.dtype)
+        res_out, upscale_factor = self._normalize_call(xj.shape, res_out,
+                                                       upscale_factor)
+        kwargs = {}
+        if res_out is not None:
+            kwargs["res_out"] = tuple(res_out)
+        if upscale_factor is not None:
+            kwargs["upscale_factor"] = upscale_factor
+        kwargs["require_ratio"] = require_ratio
+        self._ensure_params(xj, kwargs)
+        _, inter = self.model.apply(self._params, xj, **kwargs,
+                                    mutable=["intermediates"])
+        raw = inter["intermediates"]
+        scales = tuple(
+            float(raw[f"int8_scale_{n}"][0]) * margin
+            for n in ("feat1", "feat", "combined", "dec"))
+        self.model = get_model(self.model_name,
+                               **{**self._model_kwargs,
+                                  "int8_scales": scales})
+        self._cache.clear()
+        return scales
 
     def warmup(self, in_hw: tuple[int, int], res_out=None, upscale_factor=None,
                require_ratio: bool = True, batch: int = 1) -> float:

@@ -80,3 +80,29 @@ def quantize_weight(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     scale = jnp.where(scale == 0, 1.0, scale)
     q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
     return q, scale
+
+
+def quantize_conv_kernel(k: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """HWIO conv kernel -> (int8 kernel, per-output-channel (O,) scale)."""
+    scale = jnp.max(jnp.abs(k), axis=(0, 1, 2)) / 127.0
+    scale = jnp.where(scale == 0, 1.0, scale)
+    q = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_act(x: jnp.ndarray,
+                 scale: jnp.ndarray | float | None = None
+                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-tensor int8 activation quant.
+
+    scale=None -> dynamic (abs-max reduce over x: one extra device pass);
+    otherwise the given static scale (free: the round/clip fuses into the
+    producer's epilogue).
+    """
+    if scale is None:
+        scale = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))),
+                            1e-8) / 127.0
+    scale = jnp.asarray(scale, jnp.float32)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
