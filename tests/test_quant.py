@@ -102,7 +102,8 @@ def test_int8_serve_static_calibration(tmp_path):
                          int8_serve=True)
     y_dyn = eng.upscale(img, res_out=(72, 96))
     scales = eng.calibrate_int8(img, res_out=(72, 96))
-    assert len(scales) == 4 and all(s > 0 for s in scales)
+    assert len(scales) == 5
+    assert all(v > 0 for group in scales for v in group)
     assert eng.model.int8_scales == scales
     y_stat = eng.upscale(img, res_out=(72, 96))
     # margin=1.25 shifts quant grids; outputs agree to quant error.

@@ -49,8 +49,11 @@ def main():
                                   mutable=["intermediates"])
     )(params, x)
     raw = inter["intermediates"]
-    scales = tuple(float(raw[f"int8_scale_{n}"][0]) * 1.25
-                   for n in ("feat1", "feat", "combined", "dec"))
+    import numpy as np
+    scales = tuple(
+        tuple((np.asarray(raw[f"int8_scale_{n}"][0], np.float64)
+               * 1.25).tolist())
+        for n in ("feat1", "feat", "combined", "dec", "tokens"))
     log(f"calibrated scales: {scales}")
     m_st = get_model("FastTransformer", dtype=dt, compose_tails=True,
                      int8_serve=True, int8_scales=scales)

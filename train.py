@@ -43,7 +43,8 @@ def main(args):
             dataset.scale_pairs = pairs
             dataset.num_scale_pairs = len(pairs)
     else:
-        dataset = HighresImageDataset(args.data_dir, scale_pairs=pairs)
+        dataset = HighresImageDataset(args.data_dir, scale_pairs=pairs,
+                                      cache=True)
 
     dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[args.dtype]
     mesh = None

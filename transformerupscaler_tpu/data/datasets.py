@@ -45,7 +45,8 @@ def _resize_pil(img: Image.Image, hw: tuple[int, int]) -> np.ndarray:
 class HighresImageDataset:
     """Local directory of .png images, expanded into the 10 scale pairs."""
 
-    def __init__(self, image_dir: str, length: int = 200, scale_pairs=None):
+    def __init__(self, image_dir: str, length: int = 200, scale_pairs=None,
+                 cache: bool = False):
         self.image_dir = image_dir
         self.image_files = sorted(
             os.path.join(image_dir, f)
@@ -54,6 +55,11 @@ class HighresImageDataset:
         )
         self.scale_pairs = list(scale_pairs if scale_pairs is not None else SCALE_PAIRS)
         self._length = length
+        # Optional epoch cache: decoding + Lanczos-resizing a 4K PNG costs
+        # seconds on this one-core host and dominates TPU training epochs.
+        # The full pair set for the reference training_set is ~10 GB — cheap
+        # against host RAM, so train.py turns this on.
+        self._cache: dict | None = {} if cache else None
 
     def __len__(self) -> int:
         # The reference hardcodes 200 (data_class.py:47-50), which indexes out
@@ -62,11 +68,16 @@ class HighresImageDataset:
         return min(self._length, len(self.image_files) * len(self.scale_pairs))
 
     def __getitem__(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx]
         n = len(self.scale_pairs)
         img_path = self.image_files[idx // n]
         pair = self.scale_pairs[idx % n]
         hr_image = Image.open(img_path).convert("RGB")
-        return _resize_pil(hr_image, pair["lr"]), _resize_pil(hr_image, pair["hr"])
+        item = (_resize_pil(hr_image, pair["lr"]), _resize_pil(hr_image, pair["hr"]))
+        if self._cache is not None:
+            self._cache[idx] = item
+        return item
 
     def __iter__(self):
         for i in range(len(self)):

@@ -159,8 +159,9 @@ class UpscalerEngine:
                                     mutable=["intermediates"])
         raw = inter["intermediates"]
         scales = tuple(
-            float(raw[f"int8_scale_{n}"][0]) * margin
-            for n in ("feat1", "feat", "combined", "dec"))
+            tuple((np.asarray(raw[f"int8_scale_{n}"][0], np.float64)
+                   * margin).tolist())
+            for n in ("feat1", "feat", "combined", "dec", "tokens"))
         self.model = get_model(self.model_name,
                                **{**self._model_kwargs,
                                   "int8_scales": scales})

@@ -302,12 +302,24 @@ class FastTransformer(nn.Module):
         b, h, w, cin = x.shape
         xp = x.reshape(b, h, w // 2, 2 * cin)
 
-        def act_q(name, t, idx):
-            """int8-quantize an activation; static scale when calibrated,
-            dynamic abs-max otherwise. Scales are sown so
-            UpscalerEngine.calibrate_int8 can harvest them."""
-            s = None if self.int8_scales is None else self.int8_scales[idx]
-            q, s = quantize_act(t, s)
+        def act_q(name, t, idx, packed=True):
+            """Per-channel int8 activation quant (static scale vector when
+            calibrated, dynamic abs-max otherwise). For packed tensors the
+            scale is per RAW channel (max over both pixel parities), so it
+            folds exactly into the consumer's weight kernel. Scales are sown
+            so UpscalerEngine.calibrate_int8 can harvest them."""
+            from transformerupscaler_tpu.ops.quant import quantize_act_ch
+
+            if self.int8_scales is not None:
+                s = jnp.asarray(self.int8_scales[idx], jnp.float32)
+            else:
+                ax = tuple(range(t.ndim - 1))
+                m = jnp.max(jnp.abs(t.astype(jnp.float32)), axis=ax)
+                if packed:
+                    half = m.shape[0] // 2
+                    m = jnp.maximum(m[:half], m[half:])
+                s = jnp.maximum(m, 1e-8) / 127.0
+            q, _ = quantize_act_ch(t, jnp.tile(s, 2) if packed else s)
             self.sow("intermediates", f"int8_scale_{name}", s)
             return q, s
 
@@ -341,15 +353,28 @@ class FastTransformer(nn.Module):
             fq, s2 = act_q("feat", featp, 1)
             a12 = conv2d_tail_packed_int8(fq, ka, s2, ba, relu=True,
                                           out_dtype=dt)
+            # Embed reuses the tail's int8 feature map + scale.
+            from transformerupscaler_tpu.ops.patch import (
+                patch_embed_packed_int8,
+                patch_unembed_packed_int8,
+            )
+            tokens = patch_embed_packed_int8(fq, s2, self.patch_embed_kernel,
+                                             self.patch_embed_bias,
+                                             out_dtype=dt)
         else:
             a12 = conv2d_tail_packed(featp, ka, ba, relu=True)
-
-        tokens = patch_embed_packed(featp, self.patch_embed_kernel,
-                                    self.patch_embed_bias)
+            tokens = patch_embed_packed(featp, self.patch_embed_kernel,
+                                        self.patch_embed_bias)
         tokens = run_window_trunk(tokens, self.blocks, self.window_size,
                                   deterministic=True)
-        combined = patch_unembed_packed(tokens, self.patch_unembed_kernel,
-                                        self.patch_unembed_bias) + featp
+        if i8:
+            tq, s5 = act_q("tokens", tokens, 4, packed=False)
+            combined = patch_unembed_packed_int8(
+                tq, s5, self.patch_unembed_kernel, self.patch_unembed_bias,
+                out_dtype=dt) + featp
+        else:
+            combined = patch_unembed_packed(tokens, self.patch_unembed_kernel,
+                                            self.patch_unembed_bias) + featp
 
         pd1 = self.decoder_conv1.variables["params"]
         if i8:

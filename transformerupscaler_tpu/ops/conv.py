@@ -169,15 +169,19 @@ def conv2d_packed_int8(xq: jnp.ndarray, kernel: jnp.ndarray,
     pad = (kw - 1) // 2
     jmin = (0 - pad) // 2
     jmax = (1 + pad) // 2
-    kq, ks = quantize_conv_kernel(kernel)
+    # Fold the (scalar or per-input-channel) activation scale into the
+    # kernel before weight quantization — exact, so per-channel activation
+    # quant costs nothing at run time (ops/quant.quantize_act_ch).
+    keff = (kernel.astype(jnp.float32)
+            * jnp.asarray(x_scale, jnp.float32).reshape(1, 1, -1, 1))
+    kq, ks = quantize_conv_kernel(keff)
     kp = pack_kernel_width2(kq)
     dn = lax.conv_dimension_numbers(xq.shape, kp.shape, ("NHWC", "HWIO", "NHWC"))
     acc = lax.conv_general_dilated(
         xq, kp, (1, 1), ((pad_h, pad_h), (-jmin, jmax)),
         dimension_numbers=dn, preferred_element_type=jnp.int32,
     )
-    y = acc.astype(jnp.float32) * (jnp.asarray(x_scale, jnp.float32)
-                                   * jnp.tile(ks, 2))
+    y = acc.astype(jnp.float32) * jnp.tile(ks, 2)
     if bias is not None:
         y = y + jnp.tile(bias.astype(jnp.float32), 2)
     if relu:
@@ -203,7 +207,9 @@ def conv2d_tail_packed_int8(xq: jnp.ndarray, kernel: jnp.ndarray,
     boff = (pad + 1) // 2
     jmax = (7 + pad) // 2
     kwp = jmax + boff + 1
-    kq, ks = quantize_conv_kernel(kernel)
+    keff = (kernel.astype(jnp.float32)
+            * jnp.asarray(x_scale, jnp.float32).reshape(1, 1, -1, 1))
+    kq, ks = quantize_conv_kernel(keff)
     kp = pack_tail_stride4(kq)
     pad_r = kwp - boff - 4
     dn = lax.conv_dimension_numbers(xq.shape, kp.shape, ("NHWC", "HWIO", "NHWC"))
@@ -211,8 +217,7 @@ def conv2d_tail_packed_int8(xq: jnp.ndarray, kernel: jnp.ndarray,
         xq, kp, (1, 4), ((pad_h, pad_h), (boff, max(pad_r, 0))),
         dimension_numbers=dn, preferred_element_type=jnp.int32,
     )
-    y = acc.astype(jnp.float32) * (jnp.asarray(x_scale, jnp.float32)
-                                   * jnp.tile(ks, 8))
+    y = acc.astype(jnp.float32) * jnp.tile(ks, 8)
     if bias is not None:
         y = y + jnp.tile(bias.astype(jnp.float32), 8)
     if relu:

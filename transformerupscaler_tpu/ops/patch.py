@@ -74,6 +74,58 @@ def patch_unembed_packed(tokens: jnp.ndarray, kernel: jnp.ndarray,
     return out
 
 
+def patch_embed_packed_int8(xq: jnp.ndarray, x_scale, kernel: jnp.ndarray,
+                            bias: jnp.ndarray | None = None,
+                            out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """patch_embed_packed with int8 MXU compute: xq is the already-int8
+    packed feature map (scale ``x_scale`` — the serving path reuses the
+    tail-conv quantization), weights get per-output-column int8 scales."""
+    ps, _, c, d = kernel.shape
+    b, h, wp2, c2 = xq.shape
+    psp = ps // 2
+    ht, wt = h // ps, wp2 // psp
+    patches = xq.reshape(b, ht, ps, wt, psp, c2).transpose(0, 1, 3, 2, 4, 5)
+    patches = patches.reshape(b, ht, wt, ps * ps * c)
+    # Fold the (scalar or per-channel) activation scale into the kernel.
+    keff = (kernel.astype(jnp.float32)
+            * jnp.asarray(x_scale, jnp.float32).reshape(1, 1, -1, 1))
+    kperm = keff.reshape(ps * ps * c, d)
+    ks = jnp.max(jnp.abs(kperm), axis=0, keepdims=True) / 127.0
+    ks = jnp.where(ks == 0, 1.0, ks)
+    kq = jnp.clip(jnp.round(kperm / ks), -127, 127).astype(jnp.int8)
+    acc = jnp.einsum("bhwp,pd->bhwd", patches, kq,
+                     preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * ks
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
+def patch_unembed_packed_int8(tokens_q: jnp.ndarray, t_scale,
+                              kernel: jnp.ndarray,
+                              bias: jnp.ndarray | None = None,
+                              out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """patch_unembed_packed with int8 MXU compute; tokens_q int8 with
+    per-tensor scale ``t_scale``."""
+    d, ps, _, c = kernel.shape
+    b, ht, wt, _ = tokens_q.shape
+    psp = ps // 2
+    keff = (kernel.astype(jnp.float32)
+            * jnp.asarray(t_scale, jnp.float32).reshape(-1, 1, 1, 1))
+    kperm = keff.reshape(d, ps * ps * c)
+    ks = jnp.max(jnp.abs(kperm), axis=0, keepdims=True) / 127.0
+    ks = jnp.where(ks == 0, 1.0, ks)
+    kq = jnp.clip(jnp.round(kperm / ks), -127, 127).astype(jnp.int8)
+    acc = jnp.einsum("bhwd,dp->bhwp", tokens_q, kq,
+                     preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * ks
+    y = y.reshape(b, ht, wt, ps, psp, 2 * c).transpose(0, 1, 3, 2, 4, 5)
+    y = y.reshape(b, ht * ps, wt * psp, 2 * c)
+    if bias is not None:
+        y = y + jnp.tile(bias.astype(jnp.float32), 2)
+    return y.astype(out_dtype)
+
+
 def patch_unembed(tokens: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None) -> jnp.ndarray:
     """(B, Ht, Wt, D) -> (B, Ht*ps, Wt*ps, C)."""
     d, ps, _, c = kernel.shape

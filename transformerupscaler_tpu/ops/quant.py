@@ -106,3 +106,25 @@ def quantize_act(x: jnp.ndarray,
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
                  -127, 127).astype(jnp.int8)
     return q, scale
+
+
+def quantize_act_ch(x: jnp.ndarray,
+                    scale=None) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric PER-CHANNEL (last axis) int8 activation quant.
+
+    Per-channel input scales fold exactly into the consumer's weight kernel
+    (y = sum_c w[c] x[c] = sum_c (w[c] s_c)(x[c] / s_c)), so the finer
+    quantization costs nothing at run time — the int8 conv/GEMM helpers take
+    the scale vector and fold it before quantizing their weights. Channel
+    dynamic ranges of relu'd conv features differ by orders of magnitude,
+    so this recovers most of the per-tensor quantization loss (measured in
+    tools/int8_quality.py).
+    """
+    if scale is None:
+        ax = tuple(range(x.ndim - 1))
+        scale = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=ax),
+                            1e-8) / 127.0
+    scale = jnp.asarray(scale, jnp.float32)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
