@@ -108,3 +108,25 @@ def test_int8_serve_static_calibration(tmp_path):
     y_stat = eng.upscale(img, res_out=(72, 96))
     # margin=1.25 shifts quant grids; outputs agree to quant error.
     assert np.abs(y_dyn - y_stat).mean() < 0.01
+
+
+def test_int8_residual_scope_much_closer_to_f32():
+    """"residual" scope quantizes only the residual branch; its output must
+    be much closer to f32 than the full scope."""
+    import jax
+    import jax.numpy as jnp
+    from transformerupscaler_tpu.registry import get_model
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (1, 48, 64, 3), jnp.float32)
+    m_c = get_model("FastTransformer", dtype=jnp.float32, compose_tails=True)
+    m_r = get_model("FastTransformer", dtype=jnp.float32, compose_tails=True,
+                    int8_serve=True, int8_scope="residual")
+    m_f = get_model("FastTransformer", dtype=jnp.float32, compose_tails=True,
+                    int8_serve=True, int8_scope="full")
+    params = m_c.init(key, x, res_out=(72, 96))
+    y_c = np.asarray(m_c.apply(params, x, res_out=(72, 96)))
+    e_r = np.abs(np.asarray(m_r.apply(params, x, res_out=(72, 96))) - y_c)
+    e_f = np.abs(np.asarray(m_f.apply(params, x, res_out=(72, 96))) - y_c)
+    assert e_r.mean() < e_f.mean()
+    assert e_r.mean() < 5e-3, e_r.mean()

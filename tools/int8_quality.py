@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--images", type=int, default=4)
     ap.add_argument("--calib", choices=["static", "dynamic"],
                     default="static")
+    ap.add_argument("--scope", choices=["full", "residual"], default="full")
     ap.add_argument("--image_dir", type=str,
                     default="/root/reference/images/training_set")
     args = ap.parse_args()
@@ -47,7 +48,8 @@ def main():
     eng_f = UpscalerEngine("FastTransformer", dtype=jnp.float32,
                            compose_tails=True, packed_serve=True)
     eng_q = UpscalerEngine("FastTransformer", dtype=jnp.float32,
-                           compose_tails=True, int8_serve=True)
+                           compose_tails=True, int8_serve=True,
+                           int8_scope=args.scope)
     print(f"checkpoint: {eng_f.checkpoint_path}", flush=True)
 
     res_out = (1440, 2560)

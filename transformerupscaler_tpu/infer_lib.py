@@ -36,12 +36,13 @@ class UpscalerEngine:
                  quantize: bool = False, root: str = ".", donate: bool = False,
                  compose_tails: bool = False, int8_mlp: bool = False,
                  pallas_serve: bool = False, packed_serve: bool = False,
-                 int8_serve: bool = False):
+                 int8_serve: bool = False, int8_scope: str = "full"):
         self.model_name = model_name
         self._model_kwargs = dict(
             dtype=dtype, attn_impl=attn_impl, compose_tails=compose_tails,
             int8_mlp=int8_mlp, pallas_serve=pallas_serve,
-            packed_serve=packed_serve, int8_serve=int8_serve)
+            packed_serve=packed_serve, int8_serve=int8_serve,
+            int8_scope=int8_scope)
         self.model = get_model(model_name, **self._model_kwargs)
         self.dtype = dtype
         self._donate = donate
@@ -158,10 +159,17 @@ class UpscalerEngine:
         _, inter = self.model.apply(self._params, xj, **kwargs,
                                     mutable=["intermediates"])
         raw = inter["intermediates"]
-        scales = tuple(
-            tuple((np.asarray(raw[f"int8_scale_{n}"][0], np.float64)
-                   * margin).tolist())
-            for n in ("feat1", "feat", "combined", "dec", "tokens"))
+
+        def grab(n):
+            # "residual" scope never quantizes some tensors; placeholder 1.0
+            # keeps tuple indices stable.
+            if f"int8_scale_{n}" not in raw:
+                return (1.0,)
+            return tuple((np.asarray(raw[f"int8_scale_{n}"][0], np.float64)
+                          * margin).tolist())
+
+        scales = tuple(grab(n)
+                       for n in ("feat1", "feat", "combined", "dec", "tokens"))
         self.model = get_model(self.model_name,
                                **{**self._model_kwargs,
                                   "int8_scales": scales})

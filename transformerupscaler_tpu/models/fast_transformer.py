@@ -66,7 +66,15 @@ class FastTransformer(nn.Module):
     # dynamic per-tensor abs-max (one extra device pass per conv input).
     # Measured v5e: convs 1.92 -> 0.95 ms, tails 1.83/2.07 -> 0.38/0.29.
     int8_serve: bool = False
-    # Static activation scales (feat1, feat, combined, dec); None = dynamic.
+    # int8 scope: "full" quantizes every conv/tail/GEMM on the packed path;
+    # "residual" keeps the image-carrying branch (conv1/conv2/branch-A tail)
+    # in bf16 and quantizes only the residual branch (patch embed/unembed,
+    # decoder conv, B tail) — the quantization error then enters the output
+    # only through the small residual, keeping the PSNR delta tiny
+    # (tools/int8_quality.py).
+    int8_scope: str = "full"
+    # Static activation scales (feat1, feat, combined, dec, tokens);
+    # None = dynamic per-tensor abs-max.
     int8_scales: tuple | None = None
     # Serving-path speedup: fold each Upsampler's last conv with its commuted
     # RGB tail into one 5x5 conv (~2x on those stages; a 1-pixel ring at
@@ -298,7 +306,12 @@ class FastTransformer(nn.Module):
         from transformerupscaler_tpu.ops.quant import quantize_act
 
         dt = self.dtype
-        i8 = self.int8_serve
+        # i8a: image-carrying branch (conv1/conv2/tail A); i8b: residual
+        # branch (embed/unembed/decoder/tail B). "residual" scope keeps the
+        # image branch in bf16 so quantization error enters only through the
+        # small predicted residual.
+        i8a = self.int8_serve and self.int8_scope == "full"
+        i8b = self.int8_serve
         b, h, w, cin = x.shape
         xp = x.reshape(b, h, w // 2, 2 * cin)
 
@@ -325,7 +338,7 @@ class FastTransformer(nn.Module):
 
         p1 = self.conv1.variables["params"]
         p2 = self.conv2.variables["params"]
-        if i8:
+        if i8a:
             # Input is [0, 1]: the scale is static by construction.
             xq, _ = quantize_act(xp, 1.0 / 127)
             feat1 = conv2d_packed_int8(xq, p1["kernel"], 1.0 / 127,
@@ -349,25 +362,31 @@ class FastTransformer(nn.Module):
         ka, ba = compose_conv3x3_kernels(
             up["s2_c0_kernel"].astype(dt), up["s2_c0_bias"].astype(dt),
             tk, None)
-        if i8:
-            fq, s2 = act_q("feat", featp, 1)
-            a12 = conv2d_tail_packed_int8(fq, ka, s2, ba, relu=True,
-                                          out_dtype=dt)
-            # Embed reuses the tail's int8 feature map + scale.
+        if i8b:
             from transformerupscaler_tpu.ops.patch import (
                 patch_embed_packed_int8,
                 patch_unembed_packed_int8,
             )
+        if i8a:
+            fq, s2 = act_q("feat", featp, 1)
+            a12 = conv2d_tail_packed_int8(fq, ka, s2, ba, relu=True,
+                                          out_dtype=dt)
+        else:
+            a12 = conv2d_tail_packed(featp, ka, ba, relu=True)
+        if i8b:
+            # Embed reuses the tail's int8 feature map + scale when the A
+            # branch is quantized too; otherwise quantize feat for the embed.
+            if not i8a:
+                fq, s2 = act_q("feat", featp, 1)
             tokens = patch_embed_packed_int8(fq, s2, self.patch_embed_kernel,
                                              self.patch_embed_bias,
                                              out_dtype=dt)
         else:
-            a12 = conv2d_tail_packed(featp, ka, ba, relu=True)
             tokens = patch_embed_packed(featp, self.patch_embed_kernel,
                                         self.patch_embed_bias)
         tokens = run_window_trunk(tokens, self.blocks, self.window_size,
                                   deterministic=True)
-        if i8:
+        if i8b:
             tq, s5 = act_q("tokens", tokens, 4, packed=False)
             combined = patch_unembed_packed_int8(
                 tq, s5, self.patch_unembed_kernel, self.patch_unembed_bias,
@@ -377,7 +396,7 @@ class FastTransformer(nn.Module):
                                             self.patch_unembed_bias) + featp
 
         pd1 = self.decoder_conv1.variables["params"]
-        if i8:
+        if i8b:
             cq, s3 = act_q("combined", combined, 2)
             dec = conv2d_packed_int8(cq, pd1["kernel"], s3, pd1["bias"],
                                      relu=True, out_dtype=dt)
@@ -396,7 +415,7 @@ class FastTransformer(nn.Module):
         pd2 = self.decoder_conv2.variables["params"]
         kc, bc = compose_conv3x3_kernels(
             pd2["kernel"].astype(dt), pd2["bias"].astype(dt), kb, bb)
-        if i8:
+        if i8b:
             dq, s4 = act_q("dec", dec, 3)
             b12 = conv2d_tail_packed_int8(dq, kc, s4, bc, out_dtype=dt)
         else:
