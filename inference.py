@@ -66,7 +66,14 @@ def main(args):
     dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[args.dtype]
     engine = UpscalerEngine(args.model, checkpoint_dir=args.checkpoint_dir,
                             quantize=args.quantize, dtype=dtype,
-                            int8_mlp=args.int8_mlp)
+                            int8_mlp=args.int8_mlp,
+                            int8_serve=args.int8_serve != "off",
+                            int8_scope=(args.int8_serve
+                                        if args.int8_serve != "off"
+                                        else "full"),
+                            compose_tails=args.int8_serve != "off"
+                                          or args.fast,
+                            packed_serve=args.fast)
     if engine.checkpoint_path:
         print(f"Loading checkpoint: {engine.checkpoint_path}")
     else:
@@ -133,6 +140,14 @@ if __name__ == "__main__":
     parser.add_argument("--dtype", choices=["f32", "bf16"], default="f32",
                         help="Inference compute dtype (bf16 = the TPU "
                              "analogue of the reference's fp16 autocast)")
+    parser.add_argument("--fast", action="store_true",
+                        help="packed bf16 serving fast path (compose_tails "
+                             "+ width-2-packed pipeline; border-ring "
+                             "deviation, see PERFORMANCE.md)")
+    parser.add_argument("--int8_serve", choices=["off", "residual", "full"],
+                        default="off",
+                        help="int8 conv/GEMM serving scope on the packed "
+                             "path ('residual' keeps the image branch bf16)")
     parser.add_argument("--int8_mlp", action="store_true",
                         help="Run transformer MLP GEMMs on the int8 MXU path")
     main(parser.parse_args())

@@ -47,7 +47,10 @@ def main(args):
     pipe = StreamPipeline(args.model, res_in, res_out,
                           checkpoint_dir=args.checkpoint_dir,
                           quantize=args.quantize, int8_mlp=args.int8_mlp,
-                          compose_tails=args.fast, packed_serve=args.fast)
+                          int8_serve=args.int8 != "off",
+                          int8_scope=args.int8 if args.int8 != "off" else "full",
+                          compose_tails=args.fast or args.int8 != "off",
+                          packed_serve=args.fast)
     print(f"checkpoint loaded: {pipe.from_checkpoint}")
     t = pipe.warmup()
     print(f"compiled in {t:.1f}s")
@@ -85,6 +88,11 @@ if __name__ == "__main__":
     parser.add_argument("--save_last", type=str, default=None)
     parser.add_argument("--quantize", action="store_true",
                         help="int8 weight quantization of linear layers")
+    parser.add_argument("--int8", choices=["off", "residual", "full"],
+                        default="off",
+                        help="int8 serving scope on the packed path "
+                             "(PERFORMANCE.md; 'residual' keeps the "
+                             "image-carrying branch bf16)")
     parser.add_argument("--int8_mlp", action="store_true",
                         help="true int8 MXU path for the transformer MLPs")
     parser.add_argument("--fast", action="store_true",

@@ -34,6 +34,7 @@ def main():
     ap.add_argument("--calib", choices=["static", "dynamic"],
                     default="static")
     ap.add_argument("--scope", choices=["full", "residual"], default="full")
+    ap.add_argument("--margin", type=float, default=1.25)
     ap.add_argument("--image_dir", type=str,
                     default="/root/reference/images/training_set")
     args = ap.parse_args()
@@ -62,8 +63,10 @@ def main():
         gt = np.asarray(img.resize((2560, 1440), Image.BICUBIC),
                         np.float32) / 255.0
         if first and args.calib == "static":
-            scales = eng_q.calibrate_int8(lr, res_out=res_out)
-            print(f"calibrated scales: {scales}", flush=True)
+            scales = eng_q.calibrate_int8(lr, res_out=res_out,
+                                          margin=args.margin)
+            print(f"calibrated ({len(scales)} scale groups, "
+                  f"margin {args.margin})", flush=True)
             first = False
         y_f = eng_f.upscale(lr, res_out=res_out)
         y_q = eng_q.upscale(lr, res_out=res_out)
