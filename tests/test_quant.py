@@ -130,3 +130,42 @@ def test_int8_residual_scope_much_closer_to_f32():
     e_f = np.abs(np.asarray(m_f.apply(params, x, res_out=(72, 96))) - y_c)
     assert e_r.mean() < e_f.mean()
     assert e_r.mean() < 5e-3, e_r.mean()
+
+
+def test_int8_packed_conv_exact_on_grid():
+    """With inputs and weights already on the int8 grid, the int8 packed
+    conv must reproduce the float conv exactly (the int path is then
+    error-free integer arithmetic)."""
+    import jax.numpy as jnp
+    from transformerupscaler_tpu.ops.conv import (
+        conv2d,
+        conv2d_packed_int8,
+        conv2d_tail_packed_int8,
+    )
+
+    rng = np.random.default_rng(3)
+    xs = 1.0 / 127
+    xi = rng.integers(0, 128, (1, 8, 16, 64))
+    x = (xi * xs).astype(np.float32)
+    kq = rng.integers(-127, 128, (3, 3, 64, 64))
+    ks = 0.01
+    k = (kq * ks).astype(np.float32)
+    b = rng.standard_normal(64).astype(np.float32)
+
+    ref = conv2d(jnp.asarray(x), jnp.asarray(k), jnp.asarray(b), relu=True,
+                 auto_macro=False)
+    xq = jnp.asarray(xi, jnp.int8).reshape(1, 8, 8, 128)
+    got = conv2d_packed_int8(xq, jnp.asarray(k), xs, jnp.asarray(b),
+                             relu=True, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got).reshape(1, 8, 16, 64),
+                               np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    kq5 = rng.integers(-127, 128, (5, 5, 64, 12))
+    k5 = (kq5 * 0.003).astype(np.float32)
+    b5 = rng.standard_normal(12).astype(np.float32)
+    ref5 = conv2d(jnp.asarray(x), jnp.asarray(k5), jnp.asarray(b5),
+                  padding=2, relu=True, auto_macro=False)
+    got5 = conv2d_tail_packed_int8(xq, jnp.asarray(k5), xs, jnp.asarray(b5),
+                                   relu=True, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got5).reshape(1, 8, 16, 12),
+                               np.asarray(ref5), rtol=1e-5, atol=1e-5)

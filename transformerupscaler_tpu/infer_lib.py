@@ -38,6 +38,8 @@ class UpscalerEngine:
                  pallas_serve: bool = False, packed_serve: bool = False,
                  int8_serve: bool = False, int8_scope: str = "full"):
         self.model_name = model_name
+        # int8_serve runs inside the packed fast path; imply its gate.
+        compose_tails = compose_tails or int8_serve
         self._model_kwargs = dict(
             dtype=dtype, attn_impl=attn_impl, compose_tails=compose_tails,
             int8_mlp=int8_mlp, pallas_serve=pallas_serve,

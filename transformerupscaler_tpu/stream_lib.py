@@ -60,6 +60,7 @@ class StreamPipeline:
                  int8_mlp: bool = False, pallas_serve: bool = False,
                  packed_serve: bool = False, int8_serve: bool = False,
                  int8_scope: str = "full"):
+        compose_tails = compose_tails or int8_serve  # int8 implies its gate
         self.model = get_model(model_name, dtype=dtype, attn_impl=attn_impl,
                                compose_tails=compose_tails, int8_mlp=int8_mlp,
                                pallas_serve=pallas_serve,
