@@ -35,11 +35,13 @@ def timed(fn, params, x, n=4):
 
 
 def chained(apply_fn, M):
+    # abs-sum feedback: a plain full sum gets algebraically pushed through
+    # purely-linear ops, fabricating fast numbers (see tools/probe_lib.py).
     def fn(p, x):
         def body(i, carry):
             y = apply_fn(p, carry)
-            s = jnp.sum(y.astype(jnp.float32))
-            return carry * (1.0 + 0.0 * s.astype(carry.dtype))
+            s = jnp.sum(jnp.abs(y.astype(jnp.float32)))
+            return carry + (s != s).astype(carry.dtype)
         return jnp.ravel(lax.fori_loop(0, M, body, x))[0]
     return jax.jit(fn)
 
