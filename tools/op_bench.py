@@ -41,8 +41,9 @@ def chained(apply_fn, M):
     def fn(p, x):
         def body(i, carry):
             y = apply_fn(p, carry)
-            s = jnp.sum(y.astype(jnp.float32))
-            return carry * (1.0 + 0.0 * s.astype(carry.dtype))
+            # abs: plain sums get pushed through linear ops (probe_lib.py).
+            s = jnp.sum(jnp.abs(y.astype(jnp.float32)))
+            return carry + (s != s).astype(carry.dtype)
         return jnp.ravel(lax.fori_loop(0, M, body, x))[0]
     return jax.jit(fn)
 
