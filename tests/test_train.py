@@ -111,3 +111,32 @@ def test_bucketed_step_exact_without_dropout(tmp_path):
                                   deterministic=True)
         manual.append(float(np.mean(np.abs(np.asarray(out[0]) - hr))))
     assert abs(loss - np.mean(manual)) < 1e-6
+
+
+def test_uint8_device_cache_matches_f32(tmp_path):
+    """uint8 samples + device-resident cache must produce the same losses as
+    f32 host samples (pixels are uint8-exact either way)."""
+    import jax.numpy as jnp
+    from PIL import Image
+    from transformerupscaler_tpu.data.datasets import HighresImageDataset
+    from transformerupscaler_tpu.train_lib import Trainer
+
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(2):
+        arr = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"im{i}.png")
+    pairs = [{"lr": (16, 16), "hr": (32, 32)}]
+
+    losses = []
+    for uint8, cache in ((False, False), (True, True)):
+        ds = HighresImageDataset(str(img_dir), scale_pairs=pairs,
+                                 uint8=uint8)
+        tr = Trainer("FastTransformer",
+                     checkpoint_dir=str(tmp_path / f"ck{uint8}"),
+                     dtype=jnp.float32)
+        ls = tr.fit(ds, epochs=1, batch_size=2, resume=False,
+                    device_cache=cache)
+        losses.append(ls[0])
+    assert abs(losses[0] - losses[1]) < 1e-6, losses

@@ -18,11 +18,18 @@ def bucket_batch(samples):
     ((lr_h, lr_w), (hr_h, hr_w)) -> (lr NHWC, hr NHWC) stacked arrays."""
     groups = defaultdict(list)
     for lr, hr in samples:
-        groups[(lr.shape[:2], hr.shape[:2])].append((lr, hr))
+        groups[(tuple(lr.shape[:2]), tuple(hr.shape[:2]))].append((lr, hr))
     out = {}
     for key, pairs in groups.items():
-        lrs = np.stack([p[0] for p in pairs])
-        hrs = np.stack([p[1] for p in pairs])
+        if isinstance(pairs[0][0], np.ndarray):
+            xp = np
+        else:
+            # device-resident samples (train_lib._DeviceCachedDataset):
+            # stack on device — np.stack would silently pull them to host.
+            import jax.numpy as jnp
+            xp = jnp
+        lrs = xp.stack([p[0] for p in pairs])
+        hrs = xp.stack([p[1] for p in pairs])
         out[key] = (lrs, hrs)
     return out
 
