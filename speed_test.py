@@ -14,6 +14,7 @@ import argparse
 import time
 
 import jax
+import jax.numpy as jnp
 
 from transformerupscaler_tpu.data.datasets import HighresImageDataset
 from transformerupscaler_tpu.infer_lib import UpscalerEngine
@@ -26,7 +27,13 @@ def main(args):
 
     from transformerupscaler_tpu.resolutions import resolutions
     res_out = resolutions[args.res_out]
-    engine = UpscalerEngine(args.model, checkpoint_dir=args.checkpoint_dir)
+    engine = UpscalerEngine(args.model, checkpoint_dir=args.checkpoint_dir,
+                            dtype=jnp.bfloat16 if args.fast else jnp.float32,
+                            compose_tails=args.fast,
+                            packed_serve=args.fast,
+                            int8_serve=args.int8 != "off",
+                            int8_scope=(args.int8 if args.int8 != "off"
+                                        else "full"))
     if engine.checkpoint_path:
         print(f"Loading checkpoint from: {engine.checkpoint_path}")
     else:
@@ -139,6 +146,11 @@ if __name__ == "__main__":
     parser.add_argument("--mesh", type=int, default=0,
                         help="Shard the image stream over a device mesh of "
                              "this many chips (-1 = all; 0 = single device)")
+    parser.add_argument("--fast", action="store_true",
+                        help="bf16 packed serving fast path (PERFORMANCE.md)")
+    parser.add_argument("--int8", choices=["off", "residual", "full"],
+                        default="off",
+                        help="int8 serving scope on the packed path")
     parser.add_argument("--res_out", type=str, default="4k",
                         help="Output resolution name (reference hardcodes 4K "
                              "at speed_test.py:64; smaller values keep CI on "
