@@ -204,7 +204,9 @@ class Trainer:
             seed: int = 0, resume: bool = True, steps_per_epoch=None,
             device_cache: bool = False) -> list[float]:
         if resume and not self.try_resume(epochs):
-            sys.exit(1)
+            # Distinct code: the supervisor must not mistake a crash
+            # (python exits 1 on exceptions) for "training complete".
+            sys.exit(3)
         if device_cache and self.mesh is None:
             # Keep the (bounded) dataset resident in HBM: the tunneled TPU
             # host link moves ~17 MB/s, so re-transferring 4K pairs each
