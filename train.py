@@ -66,7 +66,8 @@ def main(args):
         trainer.fit(dataset, epochs=args.epochs, batch_size=args.batch_size,
                     log_interval=args.log_interval,
                     checkpoint_interval=args.checkpoint_interval,
-                    device_cache=args.data_dir is not None)
+                    device_cache=(args.data_dir is not None
+                                  and not args.no_device_cache))
     if args.traceback:
         print(f"Profiler trace written to {args.trace_dir}")
 
@@ -103,6 +104,9 @@ if __name__ == "__main__":
                              "many chips (-1 = all devices; 0 = single device)")
     parser.add_argument("--tp", type=int, default=1,
                         help="Tensor-parallel (model axis) size within the mesh")
+    parser.add_argument("--no_device_cache", action="store_true",
+                        help="Keep training samples host-side (the HBM-"
+                             "resident cache OOMs on large-target runs)")
     parser.add_argument("--traceback", action="store_true",
                         help="Capture a jax.profiler trace of the run")
     parser.add_argument("--trace_dir", type=str, default="/tmp/tux_trace",
