@@ -105,3 +105,16 @@ def test_speed_test_cli_mesh(workdir):
     assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]
     assert "'data': 8" in r.stdout
     assert "Average inference time per image" in r.stdout
+
+
+def test_train_complete_exit_code_is_3(workdir, tmp_path):
+    """Crash (exit 1) vs training-complete (exit 3) must be distinguishable
+    or infinite_train.sh stops on crashes."""
+    ck = tmp_path / "ck"
+    args = [os.path.join(REPO, "train.py"), "--model", "FastTransformer",
+            "--data_dir", str(workdir / "imgs"), "--pairs", "small",
+            "--epochs", "1", "--checkpoint_dir", str(ck)]
+    r = _run(args, cwd=str(workdir))
+    assert r.returncode == 0, (r.stdout + r.stderr)[-2000:]
+    r2 = _run(args, cwd=str(workdir))
+    assert r2.returncode == 3, (r2.stdout + r2.stderr)[-2000:]
