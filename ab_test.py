@@ -11,7 +11,6 @@ import argparse
 
 import jax
 import numpy as np
-from PIL import Image
 
 from transformerupscaler_tpu.data.datasets import HighresImageDataset
 from transformerupscaler_tpu.infer_lib import UpscalerEngine
@@ -20,15 +19,23 @@ from transformerupscaler_tpu.metrics import mse
 
 def _resize_to_height(img_hwc: np.ndarray, height: int) -> np.ndarray:
     """transforms.Resize(int) semantics: shorter side -> size, keep aspect.
-    Reference ab_test.py:91-105 applies it when the height filter mismatches."""
+    Reference ab_test.py:91-105 applies it to FLOAT tensors (bilinear,
+    antialias) when the height filter mismatches — this stays on the exact
+    float path (ops/resize.resize_antialias_bilinear) rather than
+    round-tripping through uint8, which would inject quantization noise into
+    the harness's MSE comparisons."""
+    from transformerupscaler_tpu.ops.resize import resize_antialias_bilinear
+
+    # torchvision _compute_resized_output_size: short side -> size, long side
+    # truncated (int(size * long / short)), not rounded.
     h, w = img_hwc.shape[:2]
     if h <= w:
-        new_h, new_w = height, max(1, round(w * height / h))
+        new_h, new_w = height, max(1, int(w * height / h))
     else:
-        new_w, new_h = height, max(1, round(h * height / w))
-    pil = Image.fromarray((np.clip(img_hwc, 0, 1) * 255).astype(np.uint8))
-    out = pil.resize((new_w, new_h), Image.BILINEAR)
-    return np.asarray(out, dtype=np.float32) / 255.0
+        new_w, new_h = height, max(1, int(h * height / w))
+    out = resize_antialias_bilinear(
+        jax.numpy.asarray(img_hwc, jax.numpy.float32), (new_h, new_w))
+    return np.asarray(out, dtype=np.float32)
 
 
 def main(args):

@@ -7,8 +7,9 @@ v5e chip. Prints exactly one JSON line:
 
 Serving config (PERFORMANCE.md): compose_tails on the all-XLA width-2-packed
 pipeline, pure bf16 — the quality-clean configuration (implementation parity
-144-160 dB vs the PyTorch reference at f32; the bf16 effect is the only
-deviation). Set TUX_BENCH_CONFIG=int8_residual for the int8 residual-scope
+144-160 dB vs the PyTorch reference at f32 on the exact path; the headline
+adds the bf16 compute effect plus the documented compose-tails 1-pixel
+border-ring deviation). Set TUX_BENCH_CONFIG=int8_residual for the int8 residual-scope
 mode: +10% throughput at a measured +0.07 dB GT PSNR delta
 (tools/int8_quality.py); its calibration (one dynamic-quant frame) happens
 at setup like compilation and is excluded from steady-state timing.

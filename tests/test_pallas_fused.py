@@ -208,6 +208,14 @@ def test_full_model_packed_path_matches_composed_xla():
     m_p = get_model("FastTransformer", dtype=jnp.float32, compose_tails=True,
                     packed_serve=True)
     params = m_c.init(key, x, res_out=(72, 96))
+    # Init biases are all zeros — overwrite them with random values so
+    # bias-threading mistakes unique to the packed path (repeat-vs-tile
+    # orderings in the tail composition) actually fail the comparison.
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, v: (jax.random.normal(
+            jax.random.fold_in(key, hash(str(p)) % (2**31)), v.shape) * 0.1
+            if "bias" in str(p[-1]) else v),
+        params)
     for kwargs in ({"res_out": (72, 96)},
                    {"upscale_factor": 2, "require_ratio": False}):
         y_c = m_c.apply(params, x, **kwargs)

@@ -72,3 +72,23 @@ def test_hwc_input_accepted(rng):
     x = rng.random((24, 40, 3), dtype=np.float64).astype(np.float32)
     out = resize(jnp.asarray(x), (36, 60))
     assert out.shape == (36, 60, 3)
+
+
+def test_ab_test_height_filter_matches_torchvision(rng):
+    """ab_test's res filters must use transforms.Resize float semantics
+    (reference ab_test.py:91-105): bilinear+antialias on the float tensor,
+    shorter side -> size, NO uint8 round-trip."""
+    import ab_test
+
+    x = rng.random((30, 52, 3), dtype=np.float64).astype(np.float32)
+    got = ab_test._resize_to_height(x, 21)  # landscape: height is shorter
+    want = _from_torch(
+        F.interpolate(_to_torch(x[None]), size=(21, 36), mode="bilinear",
+                      align_corners=False, antialias=True)
+    )[0]
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+    # Portrait: width is the shorter side; Resize(int) matches it instead.
+    xp = rng.random((52, 30, 3), dtype=np.float64).astype(np.float32)
+    got_p = ab_test._resize_to_height(xp, 21)
+    assert got_p.shape[:2] == (36, 21)

@@ -100,3 +100,32 @@ def test_sharded_upscaler_batch():
     # Non-divisible batch pads then crops.
     out = up.upscale_batch(batch[:5], res_out=(64, 64))
     assert out.shape == (5, 64, 64, 3)
+
+
+def test_tp_matches_single_device_loss_and_step():
+    """DP x TP must be numerically equivalent to single-device training:
+    same loss AND the same params after one optimizer step (a silently wrong
+    sharding constraint would pass a finite-loss check)."""
+    from transformerupscaler_tpu.train_lib import Trainer
+
+    rng = np.random.default_rng(3)
+    samples = [(rng.random((32, 32, 3)).astype(np.float32),
+                rng.random((64, 64, 3)).astype(np.float32)) for _ in range(8)]
+
+    t_single = Trainer("WindowTransformer", checkpoint_dir="/tmp/x",
+                       dtype=jnp.float32)
+    t_tp = Trainer("WindowTransformer", checkpoint_dir="/tmp/x",
+                   dtype=jnp.float32, mesh=make_mesh(8, tp=2))
+    t_single.init_params((32, 32), (64, 64))
+    t_tp.init_params((32, 32), (64, 64))
+    loss_a = t_single.train_step(samples, jax.random.PRNGKey(5))
+    loss_b = t_tp.train_step(samples, jax.random.PRNGKey(5))
+    assert abs(loss_a - loss_b) < 5e-4
+
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        t_single.params, jax.device_get(t_tp.params))
+    max_diff = max(jax.tree.leaves(diffs))
+    # One Adam step moves params by ~lr=1e-4; sharded-reduction float noise
+    # must stay far below that scale.
+    assert max_diff < 2e-5, f"params diverged after one step: {max_diff}"

@@ -161,6 +161,15 @@ class UpscalerEngine:
         _, inter = self.model.apply(self._params, xj, **kwargs,
                                     mutable=["intermediates"])
         raw = inter["intermediates"]
+        if not any(k.startswith("int8_scale_") for k in raw):
+            raise RuntimeError(
+                "calibrate_int8: the calibration forward sowed no activation "
+                "scales — the frame's geometry missed the packed int8 gate "
+                f"(input {tuple(xj.shape[1:3])}, res_out={res_out}, "
+                f"upscale_factor={upscale_factor}). The packed path requires "
+                "a supported scale with h % patch_size == 0 and w % 16 == 0; "
+                "calibrate with a frame/geometry that will actually serve, "
+                "or baked placeholder scales would silently wreck quality.")
 
         def grab(n):
             # "residual" scope never quantizes some tensors; placeholder 1.0
