@@ -143,7 +143,10 @@ if __name__ == "__main__":
     parser.add_argument("--fast", action="store_true",
                         help="packed bf16 serving fast path (compose_tails "
                              "+ width-2-packed pipeline; border-ring "
-                             "deviation, see PERFORMANCE.md)")
+                             "deviation, see PERFORMANCE.md). Requires "
+                             "scale in {2,3,4,6}, input h %% 8 == 0 and "
+                             "w %% 16 == 0; other geometries fall back "
+                             "with a warning")
     parser.add_argument("--int8_serve", choices=["off", "residual", "full"],
                         default="off",
                         help="int8 conv/GEMM serving scope on the packed "

@@ -147,7 +147,10 @@ if __name__ == "__main__":
                         help="Shard the image stream over a device mesh of "
                              "this many chips (-1 = all; 0 = single device)")
     parser.add_argument("--fast", action="store_true",
-                        help="bf16 packed serving fast path (PERFORMANCE.md)")
+                        help="bf16 packed serving fast path (PERFORMANCE.md); "
+                             "geometries outside the packed gate (scale in "
+                             "{2,3,4,6}, h %% 8 == 0, w %% 16 == 0) fall "
+                             "back with a warning")
     parser.add_argument("--int8", choices=["off", "residual", "full"],
                         default="off",
                         help="int8 serving scope on the packed path")

@@ -78,3 +78,24 @@ def test_quantized_engine_close_to_fp(tmp_path):
     # int8 weight quantization perturbs but must stay close.
     assert np.abs(out_fp - out_q).max() < 0.05
     assert np.abs(out_fp - out_q).max() > 0.0  # it actually did something
+
+
+def test_fast_flag_warns_on_unsupported_geometry():
+    import warnings
+
+    import numpy as np
+
+    from transformerupscaler_tpu.infer_lib import UpscalerEngine
+
+    eng = UpscalerEngine("FastTransformer", checkpoint_dir="/tmp/nonexistent",
+                        packed_serve=True, compose_tails=True)
+    img = np.zeros((20, 20, 3), np.float32)  # w % 16 != 0 -> gate misses
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        eng.upscale(img, upscale_factor=2)
+        assert any("falling back" in str(x.message) for x in w)
+    # One-time: a second call must not warn again.
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        eng.upscale(img, upscale_factor=2)
+        assert not any("falling back" in str(x.message) for x in w)

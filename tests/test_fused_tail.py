@@ -61,3 +61,49 @@ def test_resize_shuffled_upscale_direction(rng):
     got = resize_shuffled(z, 2, (24, 40))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("k,r", [(3, 2), (3, 3), (5, 2), (5, 3), (3, 6), (7, 2)])
+def test_commute_conv_through_shuffle_general(rng, k, r):
+    """conv(shuffle_r(x), k) == shuffle_r(conv(x, commuted)) for any odd k."""
+    import jax.numpy as jnp
+
+    from transformerupscaler_tpu.ops.conv import conv2d
+    from transformerupscaler_tpu.ops.pixel_shuffle import (
+        commute_conv_through_shuffle,
+        pixel_shuffle,
+    )
+
+    c, o = 4, 5
+    x = jnp.asarray(rng.standard_normal((1, 6, 8, c * r * r)), jnp.float32)
+    kern = jnp.asarray(rng.standard_normal((k, k, c, o)) * 0.2, jnp.float32)
+    hi = pixel_shuffle(x, r)
+    want = conv2d(hi, kern, padding=(k - 1) // 2, auto_macro=False)
+    kc = commute_conv_through_shuffle(kern, r)
+    got = pixel_shuffle(
+        conv2d(x, kc, padding=(kc.shape[0] - 1) // 2, auto_macro=False), r)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("kw,co,block", [(5, 12, 8), (7, 12, 8), (5, 27, 4),
+                                         (7, 27, 4), (5, 48, 2), (7, 48, 2),
+                                         (5, 16, 6)])
+def test_conv2d_tail_packed_blocks(rng, kw, co, block):
+    """Generic macro-block packed tails must equal the plain conv."""
+    import jax.numpy as jnp
+
+    from transformerupscaler_tpu.ops.conv import conv2d, conv2d_tail_packed
+
+    cin = 8
+    h, w = 6, 24
+    x = jnp.asarray(rng.standard_normal((1, h, w, cin)), jnp.float32)
+    kern = jnp.asarray(rng.standard_normal((kw, kw, cin, co)) * 0.2,
+                       jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(co), jnp.float32)
+    want = conv2d(x, kern, bias, padding=(kw - 1) // 2, auto_macro=False)
+    xp = x.reshape(1, h, w // 2, 2 * cin)
+    got = conv2d_tail_packed(xp, kern, bias, block=block)
+    got = got.reshape(1, h, w, co)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)

@@ -217,16 +217,47 @@ def test_full_model_packed_path_matches_composed_xla():
             if "bias" in str(p[-1]) else v),
         params)
     for kwargs in ({"res_out": (72, 96)},
-                   {"upscale_factor": 2, "require_ratio": False}):
+                   {"upscale_factor": 2, "require_ratio": False},
+                   {"upscale_factor": 3, "require_ratio": False},
+                   {"upscale_factor": 6, "require_ratio": False},
+                   {"res_out": (72, 192)},  # 3x squash geometry
+                   ):
         y_c = m_c.apply(params, x, **kwargs)
         y_p = m_p.apply(params, x, **kwargs)
         np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_c),
                                    rtol=1e-4, atol=2e-5)
 
 
-def test_packed_path_falls_back_on_unsupported_scale():
+def test_packed_scale4_matches_exact_interior():
+    """Scale 4 fully-composes both Upsampler stages to base resolution
+    (models/upsampler.composed_tail_kernel) — the interior must equal the
+    EXACT sequential path; only the documented composed-pad border ring may
+    deviate."""
+    key = jax.random.PRNGKey(1)
+    x = jax.random.uniform(key, (1, 24, 32, 3), jnp.float32)
+    m_e = get_model("FastTransformer", dtype=jnp.float32)
+    m_p = get_model("FastTransformer", dtype=jnp.float32, compose_tails=True,
+                    packed_serve=True)
+    params = m_e.init(key, x, upscale_factor=4)
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, v: (jax.random.normal(
+            jax.random.fold_in(key, hash(str(p)) % (2**31)), v.shape) * 0.1
+            if "bias" in str(p[-1]) else v),
+        params)
+    y_e = m_e.apply(params, x, upscale_factor=4, require_ratio=False)
+    y_p = m_p.apply(params, x, upscale_factor=4, require_ratio=False)
+    assert y_p.shape == (1, 96, 128, 3)
+    c = 16  # composed pad is 3 base pixels = 12 output pixels at 4x
+    np.testing.assert_allclose(np.asarray(y_p)[:, c:-c, c:-c],
+                               np.asarray(y_e)[:, c:-c, c:-c],
+                               rtol=1e-4, atol=2e-5)
+
+
+def test_packed_path_falls_back_on_unsupported_geometry():
+    # Width 20 is not a multiple of 16 -> the packed gate must not fire; the
+    # output equals the compose path bit-for-bit because it IS that path.
     key = jax.random.PRNGKey(0)
-    x = jax.random.uniform(key, (1, 16, 16, 3), jnp.float32)
+    x = jax.random.uniform(key, (1, 16, 20, 3), jnp.float32)
     m_c = get_model("FastTransformer", dtype=jnp.float32, compose_tails=True)
     m_p = get_model("FastTransformer", dtype=jnp.float32, compose_tails=True,
                     packed_serve=True)

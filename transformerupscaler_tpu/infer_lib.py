@@ -49,6 +49,7 @@ class UpscalerEngine:
         self.dtype = dtype
         self._donate = donate
         self._cache: dict = {}
+        self._warned_fast_gate = False
 
         if params is None:
             ckpt_dir = checkpoint_dir or default_checkpoint_dir(model_name, root)
@@ -96,6 +97,30 @@ class UpscalerEngine:
             self._cache[key] = jax.jit(apply, donate_argnums=donate)
         return self._cache[key]
 
+    def _warn_if_fast_gate_misses(self, x_shape, res_out, upscale_factor):
+        """--fast/--int8 silently fall back to the plain compose path for
+        unsupported geometries; surface that once so CLI users know the flag
+        did nothing (packed gate: fast_transformer.py __call__)."""
+        if not (self._model_kwargs.get("packed_serve")
+                or self._model_kwargs.get("int8_serve")):
+            return
+        if self.model_name != "FastTransformer" or self._warned_fast_gate:
+            return
+        from transformerupscaler_tpu.models.common import resolve_geometry
+
+        h, w = x_shape[1:3]
+        _, scale = resolve_geometry((h, w), res_out, upscale_factor)
+        if scale in (2, 3, 4, 6) and h % 8 == 0 and w % 16 == 0:
+            return
+        self._warned_fast_gate = True
+        import warnings
+
+        warnings.warn(
+            f"fast/int8 serving path requires scale in {{2,3,4,6}} with "
+            f"input h % 8 == 0 and w % 16 == 0; got {h}x{w} at scale "
+            f"{scale} — falling back to the plain (bf16, unquantized) "
+            f"compose path for this geometry.", stacklevel=3)
+
     def _normalize_call(self, x_shape, res_out, upscale_factor):
         # Bicubic takes only res_out (reference BicubicInterpolation/model.py:17);
         # resolve a scale to a concrete res_out for it.
@@ -116,6 +141,7 @@ class UpscalerEngine:
         xj = jnp.asarray(x, dtype=self.dtype)
 
         res_out, upscale_factor = self._normalize_call(xj.shape, res_out, upscale_factor)
+        self._warn_if_fast_gate_misses(xj.shape, res_out, upscale_factor)
         key = (tuple(res_out) if res_out is not None else None,
                upscale_factor, require_ratio)
         init_kwargs = {}

@@ -133,7 +133,7 @@ class FastTransformer(nn.Module):
             return self._fast_forward(x, res_out, scale, require_ratio)
         if ((self.packed_serve or self.int8_serve) and self.compose_tails
                 and deterministic and not self.is_initializing()
-                and scale == 2 and h_feat % self.patch_size == 0
+                and scale in (2, 3, 4, 6) and h_feat % self.patch_size == 0
                 and w_feat % 16 == 0):
             return self._packed_forward(x, res_out, scale, require_ratio)
 
@@ -279,31 +279,37 @@ class FastTransformer(nn.Module):
 
     # ------------------------------------------------------------------
     def _packed_forward(self, x, res_out, scale, require_ratio):
-        """Scale-2 all-XLA serving path on the width-2-packed layout.
+        """All-XLA serving path on the width-2-packed layout, scales 2/3/4/6.
 
-        Same math as the compose_tails path (composed branch tails; 1-pixel
+        Same math as the compose_tails path (composed branch tails;
         border-ring deviation documented in PERFORMANCE.md), but every
         intermediate stays (B, H, W/2, 2C): convs via conv2d_packed_raw
-        (all 128 lanes busy), composed tails via stride-4 macro-8 convs,
-        patch embed/unembed via permuted-kernel GEMMs on the packed layout.
-        No Mosaic involvement — compiles like any XLA program.
+        (all 128 lanes busy), composed tails via stride-(block/2)
+        macro-block convs (tail_block picks the block filling the lanes for
+        each scale's 3*scale^2 tail outputs — XLA would otherwise pad 27/48
+        output channels to 128 lanes), patch embed/unembed via
+        permuted-kernel GEMMs on the packed layout. Scale 4 additionally
+        commutes its second Upsampler stage through the first shuffle
+        (models/upsampler.composed_tail_kernel) so ALL tail compute runs at
+        base resolution. No Mosaic involvement — compiles like any XLA
+        program.
         """
         from transformerupscaler_tpu.ops.conv import (
-            compose_conv3x3_kernels,
             conv2d_packed_int8,
             conv2d_packed_raw,
             conv2d_tail_packed,
             conv2d_tail_packed_int8,
+            tail_block,
         )
         from transformerupscaler_tpu.ops.patch import (
             patch_embed_packed,
             patch_unembed_packed,
         )
-        from transformerupscaler_tpu.ops.pixel_shuffle import (
-            commute_conv_through_shuffle,
-            pixel_shuffle,
-        )
+        from transformerupscaler_tpu.ops.pixel_shuffle import pixel_shuffle
         from transformerupscaler_tpu.ops.quant import quantize_act
+        from transformerupscaler_tpu.models.upsampler import (
+            composed_tail_kernel,
+        )
 
         dt = self.dtype
         # i8a: image-carrying branch (conv1/conv2/tail A); i8b: residual
@@ -356,12 +362,11 @@ class FastTransformer(nn.Module):
         compare = out_hw if self.fix_ratio_bug else (out_hw[0], out_hw[0])
         squash = require_ratio and tuple(res_out) != compare
 
-        # Branch A composed kernel: up1 stage conv o commuted RGB tail.
-        up = self.up1._params
-        tk = commute_conv_through_shuffle(self.up1_conv_kernel.astype(dt), 2)
-        ka, ba = compose_conv3x3_kernels(
-            up["s2_c0_kernel"].astype(dt), up["s2_c0_bias"].astype(dt),
-            tk, None)
+        # Branch A composed kernel: the whole up1 chain o commuted RGB tail,
+        # one base-res conv emitting pixel_shuffle(scale)-ordered channels.
+        ka, ba = composed_tail_kernel(self.up1._params, scale,
+                                      self.up1_conv_kernel, None, dt)
+        blk = tail_block(ka.shape[3], w)
         if i8b:
             from transformerupscaler_tpu.ops.patch import (
                 patch_embed_packed_int8,
@@ -370,9 +375,9 @@ class FastTransformer(nn.Module):
         if i8a:
             fq, s2 = act_q("feat", featp, 1)
             a12 = conv2d_tail_packed_int8(fq, ka, s2, ba, relu=True,
-                                          out_dtype=dt)
+                                          out_dtype=dt, block=blk)
         else:
-            a12 = conv2d_tail_packed(featp, ka, ba, relu=True)
+            a12 = conv2d_tail_packed(featp, ka, ba, relu=True, block=blk)
         if i8b:
             # Embed reuses the tail's int8 feature map + scale when the A
             # branch is quantized too; otherwise quantize feat for the embed.
@@ -404,26 +409,24 @@ class FastTransformer(nn.Module):
             dec = conv2d_packed_raw(combined, pd1["kernel"].astype(dt),
                                     pd1["bias"], relu=True)
 
-        # Decoder tail: dec2 o (B stage conv o commuted tail) -> 7x7 64->12.
-        fu = self.final_upscale._params
-        tkb = commute_conv_through_shuffle(
-            self.final_upscale_conv_kernel.astype(dt), 2)
-        tbb = jnp.repeat(self.final_upscale_conv_bias.astype(dt), 4)
-        kb, bb = compose_conv3x3_kernels(
-            fu["s2_c0_kernel"].astype(dt), fu["s2_c0_bias"].astype(dt),
-            tkb, tbb)
+        # Decoder tail: dec2 o (final_upscale chain o commuted tail) — e.g.
+        # 7x7 64->12 at scale 2, 7x7 64->48 at scale 4 (all at base res).
         pd2 = self.decoder_conv2.variables["params"]
-        kc, bc = compose_conv3x3_kernels(
-            pd2["kernel"].astype(dt), pd2["bias"].astype(dt), kb, bb)
+        kc, bc = composed_tail_kernel(
+            self.final_upscale._params, scale,
+            self.final_upscale_conv_kernel, self.final_upscale_conv_bias,
+            dt, pre_kernel=pd2["kernel"], pre_bias=pd2["bias"])
         if i8b:
             dq, s4 = act_q("dec", dec, 3)
-            b12 = conv2d_tail_packed_int8(dq, kc, s4, bc, out_dtype=dt)
+            b12 = conv2d_tail_packed_int8(dq, kc, s4, bc, out_dtype=dt,
+                                          block=blk)
         else:
-            b12 = conv2d_tail_packed(dec, kc, bc)
+            b12 = conv2d_tail_packed(dec, kc, bc, block=blk)
 
-        out12 = (a12 + b12).reshape(b, h, w, 12)
+        rr3 = 3 * scale * scale
+        outp = (a12 + b12).reshape(b, h, w, rr3)
         if squash:
-            out = resize_shuffled(out12, 2, res_out)
+            out = resize_shuffled(outp, scale, res_out)
         else:
-            out = pixel_shuffle(out12, 2)
+            out = pixel_shuffle(outp, scale)
         return jnp.clip(out, 0.0, 1.0)

@@ -115,3 +115,74 @@ class Upsampler(nn.Module):
 def last_shuffle_factor(scale: int) -> int:
     """Shuffle factor skipped by ``return_preshuffle`` for this scale."""
     return _STAGES[scale][-1][1]
+
+
+def composed_tail_kernel(up_params: dict, scale: int, tail_kernel, tail_bias,
+                         dtype, pre_kernel=None, pre_bias=None):
+    """Fold an entire Upsampler chain (+ optional preceding conv + trailing
+    tail conv) into ONE base-resolution conv whose outputs are
+    pixel_shuffle(``scale``)-ordered channels.
+
+    For the single-stage scales (2, 3, 6) this is the existing
+    compose_tails form: compose(stage conv, commute(tail, r)). For scale 4
+    (reference FastTransformer/utils.py:57-68 chains TWO conv+shuffle(2)
+    stages, the second running on 4x the pixel area — the measured worst
+    matrix row) the second stage and the tail are ADDITIONALLY commuted
+    through the first shuffle, so all tail compute lands at base
+    resolution: tail' = commute(tail, 2) at 2x; U = stage2 o tail' (5x5);
+    U' = commute(U, 2) at base (3x3, 4n -> 16o); K = stage1 o U' (5x5,
+    n -> 16o) — ~5x fewer MACs than running stage 2 at 2x resolution. The
+    nested phase order (o, a2, b2, a1, b1) is permuted to shuffle-4 order
+    (o, 2*a1+a2, 2*b1+b2) at trace time.
+
+    Composition zero-pads the input instead of each intermediate, so a
+    border ring at base resolution deviates from the sequential form (same
+    class of deviation as ``compose_tail``; ring width = composed pad).
+    Returns (kernel, bias); apply with same-padding and then
+    ``pixel_shuffle(scale)`` / ``resize_shuffled(..., scale, ...)``.
+    """
+    from transformerupscaler_tpu.ops.conv import compose_conv3x3_kernels
+
+    stages = _STAGES[scale]
+    tb = None if tail_bias is None else tail_bias.astype(dtype)
+    tk = tail_kernel.astype(dtype)
+    if len(stages) == 1:
+        r = stages[0][1]
+        tko = commute_conv_through_shuffle(tk, r)
+        tbo = None if tb is None else jnp.repeat(tb, r * r)
+        k0 = up_params[f"s{scale}_c0_kernel"].astype(dtype)
+        b0 = up_params[f"s{scale}_c0_bias"].astype(dtype)
+        kc, bc = compose_conv3x3_kernels(k0, b0, tko, tbo)
+    else:
+        assert scale == 4 and len(stages) == 2
+        k0 = up_params["s4_c0_kernel"].astype(dtype)
+        b0 = up_params["s4_c0_bias"].astype(dtype)
+        k1 = up_params["s4_c1_kernel"].astype(dtype)
+        b1 = up_params["s4_c1_bias"].astype(dtype)
+        o = tk.shape[3]
+        # Tail through the second shuffle, composed with stage 2 (at 2x res).
+        t2 = commute_conv_through_shuffle(tk, 2)
+        tb2 = None if tb is None else jnp.repeat(tb, 4)
+        u, ub = compose_conv3x3_kernels(k1, b1, t2, tb2)  # 5x5, n -> 4o @2x
+        # That whole thing through the first shuffle, composed with stage 1.
+        u2 = commute_conv_through_shuffle(u, 2)  # 3x3, 4n -> 16o @base
+        ub2 = None if ub is None else jnp.repeat(ub, 4)
+        kc, bc = compose_conv3x3_kernels(k0, b0, u2, ub2)  # 5x5, n -> 16o
+        # Output channels are ordered (o, a2, b2, a1, b1) where the final
+        # 4x pixel is (4h + 2*a1 + a2, 4w + 2*b1 + b2); permute to
+        # pixel_shuffle(4) order (o, i, j) with i = 2*a1 + a2, j = 2*b1 + b2.
+        perm = []
+        for oc in range(o):
+            for i in range(4):
+                for j in range(4):
+                    a1, a2 = i // 2, i % 2
+                    b1_, b2 = j // 2, j % 2
+                    perm.append(((((oc * 2 + a2) * 2 + b2) * 2 + a1) * 2 + b1_))
+        perm = jnp.asarray(perm)
+        kc = kc[..., perm]
+        bc = None if bc is None else bc[perm]
+    if pre_kernel is not None:
+        kc, bc = compose_conv3x3_kernels(
+            pre_kernel.astype(dtype),
+            None if pre_bias is None else pre_bias.astype(dtype), kc, bc)
+    return kc, bc

@@ -192,12 +192,13 @@ def conv2d_packed_int8(xq: jnp.ndarray, kernel: jnp.ndarray,
 def conv2d_tail_packed_int8(xq: jnp.ndarray, kernel: jnp.ndarray,
                             x_scale, bias: jnp.ndarray | None = None,
                             relu: bool = False,
-                            out_dtype=jnp.bfloat16) -> jnp.ndarray:
+                            out_dtype=jnp.bfloat16,
+                            block: int = 8) -> jnp.ndarray:
     """conv2d_tail_packed with int8 MXU compute (measured v5e: 0.38/0.29 ms
     vs 1.83/2.07 bf16 for the composed 5x5/7x7 tails @720p).
 
     xq: int8 packed input quantized with ``x_scale``; kernel raw float
-    (kh, kw, Cin, co). Returns (B, H, W/8, 8*co) in ``out_dtype``.
+    (kh, kw, Cin, co). Returns (B, H, W/block, block*co) in ``out_dtype``.
     """
     from transformerupscaler_tpu.ops.quant import quantize_conv_kernel
 
@@ -205,42 +206,46 @@ def conv2d_tail_packed_int8(xq: jnp.ndarray, kernel: jnp.ndarray,
     pad_h = (kh - 1) // 2
     pad = (kw - 1) // 2
     boff = (pad + 1) // 2
-    jmax = (7 + pad) // 2
+    jmax = (block - 1 + pad) // 2
     kwp = jmax + boff + 1
     keff = (kernel.astype(jnp.float32)
             * jnp.asarray(x_scale, jnp.float32).reshape(1, 1, -1, 1))
     kq, ks = quantize_conv_kernel(keff)
-    kp = pack_tail_stride4(kq)
-    pad_r = kwp - boff - 4
+    kp = pack_tail_stride4(kq, block)
+    pad_r = kwp - boff - block // 2
     dn = lax.conv_dimension_numbers(xq.shape, kp.shape, ("NHWC", "HWIO", "NHWC"))
     acc = lax.conv_general_dilated(
-        xq, kp, (1, 4), ((pad_h, pad_h), (boff, max(pad_r, 0))),
+        xq, kp, (1, block // 2), ((pad_h, pad_h), (boff, max(pad_r, 0))),
         dimension_numbers=dn, preferred_element_type=jnp.int32,
     )
-    y = acc.astype(jnp.float32) * jnp.tile(ks, 8)
+    y = acc.astype(jnp.float32) * jnp.tile(ks, block)
     if bias is not None:
-        y = y + jnp.tile(bias.astype(jnp.float32), 8)
+        y = y + jnp.tile(bias.astype(jnp.float32), block)
     if relu:
         y = jnp.maximum(y, 0.0)
     return y.astype(out_dtype)
 
 
-def pack_tail_stride4(kernel: jnp.ndarray) -> jnp.ndarray:
-    """Composed-tail kernel (kh, kw, Cin, co) -> stride-4 packed-layout
-    kernel (kh, kwp, 2Cin, 8*co) producing macro-8 outputs.
+def pack_tail_stride4(kernel: jnp.ndarray, block: int = 8) -> jnp.ndarray:
+    """Composed-tail kernel (kh, kw, Cin, co) -> stride-(block/2)
+    packed-layout kernel (kh, kwp, 2Cin, block*co) producing macro-``block``
+    outputs (``block`` even).
 
-    Output block b covers pixels 8b..8b+7; out lane s*co + o is sub-pixel s.
-    Input pixel 8b+s+dx (dx in [-pad, pad]) lives at packed col
-    4b + floor((s+dx)/2), parity (s+dx) % 2. The conv runs with stride
-    (1, 4) over packed cols with boff cols of left zero padding.
+    Output block b covers pixels block*b..block*b+block-1; out lane s*co + o
+    is sub-pixel s. Input pixel block*b+s+dx (dx in [-pad, pad]) lives at
+    packed col (block/2)*b + floor((s+dx)/2), parity (s+dx) % 2. The conv
+    runs with stride (1, block/2) over packed cols with boff cols of left
+    zero padding. MAC inflation vs the true conv is 2*kwp/kw — smaller
+    blocks inflate less, so callers pick the smallest even block whose
+    block*co fills the 128 MXU lanes (see tail_block).
     """
     kh, kw, cin, co = kernel.shape
     pad = (kw - 1) // 2
     boff = (pad + 1) // 2  # = -floor((0-pad)/2)
-    jmax = (7 + pad) // 2
+    jmax = (block - 1 + pad) // 2
     kwp = jmax + boff + 1
-    kp = jnp.zeros((kh, kwp, 2 * cin, 8 * co), kernel.dtype)
-    for s in range(8):
+    kp = jnp.zeros((kh, kwp, 2 * cin, block * co), kernel.dtype)
+    for s in range(block):
         for dx in range(-pad, pad + 1):
             t = s + dx
             j = (t - (t % 2)) // 2 + boff
@@ -250,34 +255,43 @@ def pack_tail_stride4(kernel: jnp.ndarray) -> jnp.ndarray:
     return kp
 
 
+def tail_block(co: int, w: int) -> int:
+    """Smallest even macro-block whose block*co fills the 128 MXU lanes
+    (>= 96) and divides the image width — smaller blocks mean less MAC
+    inflation (2*kwp/kw), so e.g. co=12 -> 8, co=27 -> 4, co>=48 -> 2."""
+    for b in (2, 4, 6, 8):
+        if b * co >= 96 and w % b == 0:
+            return b
+    return 8 if w % 8 == 0 else 2
+
+
 def conv2d_tail_packed(xp: jnp.ndarray, kernel: jnp.ndarray,
                        bias: jnp.ndarray | None = None,
-                       relu: bool = False) -> jnp.ndarray:
-    """Small-output composed tail on the packed layout: one stride-(1, 4)
-    conv producing macro-8 outputs (all 8*co lanes busy, 128-lane input
-    streams at full HBM rate).
+                       relu: bool = False, block: int = 8) -> jnp.ndarray:
+    """Small-output composed tail on the packed layout: one stride-(1,
+    block/2) conv producing macro-``block`` outputs (all block*co lanes
+    busy, 128-lane input streams at full HBM rate).
 
     xp: (B, H, W/2, 2Cin) packed features; kernel: raw (kh, kw, Cin, co).
-    Returns (B, H, W/8, 8*co); reshape to (B, H, W, co) is free.
+    Returns (B, H, W/block, block*co); reshape to (B, H, W, co) is free.
     """
     kh, kw, cin, co = kernel.shape
     pad_h = (kh - 1) // 2
     pad = (kw - 1) // 2
     boff = (pad + 1) // 2
-    jmax = (7 + pad) // 2
+    jmax = (block - 1 + pad) // 2
     kwp = jmax + boff + 1
-    kp = pack_tail_stride4(kernel).astype(xp.dtype)
-    # Right padding: last block b=WB-1 reads cols 4b-boff .. 4b-boff+kwp-1;
-    # 4(WB-1)+kwp-boff-1 <= WP2-1+pad_r.
-    wp2 = xp.shape[2]
-    pad_r = kwp - boff - 4
+    kp = pack_tail_stride4(kernel, block).astype(xp.dtype)
+    # Right padding: last block b=WB-1 reads packed cols (block/2)*b-boff ..
+    # +kwp-1; (block/2)(WB-1)+kwp-boff-1 <= WP2-1+pad_r.
+    pad_r = kwp - boff - block // 2
     dn = lax.conv_dimension_numbers(xp.shape, kp.shape, ("NHWC", "HWIO", "NHWC"))
     out = lax.conv_general_dilated(
-        xp, kp, (1, 4), ((pad_h, pad_h), (boff, max(pad_r, 0))),
+        xp, kp, (1, block // 2), ((pad_h, pad_h), (boff, max(pad_r, 0))),
         dimension_numbers=dn,
     ).astype(xp.dtype)
     if bias is not None:
-        out = out + jnp.tile(bias.astype(xp.dtype), 8)
+        out = out + jnp.tile(bias.astype(xp.dtype), block)
     if relu:
         out = jax.nn.relu(out)
     return out

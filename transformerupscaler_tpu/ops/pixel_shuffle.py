@@ -25,47 +25,58 @@ def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
 
 
 @lru_cache(maxsize=None)
-def _commute_maps(r: int):
-    """Index maps for commuting a 3x3 conv through pixel_shuffle(r).
+def _commute_maps(r: int, k: int = 3):
+    """Index maps for commuting a k x k (odd) conv through pixel_shuffle(r).
 
     For high-res offset (dm, dn) and output phase (a, b), the low-res
     equivalent reads input phase (p, q) at low-res offset (di, dj) where
     dm = di*r + p - a (same for dn). Exactly one (dm, dn) feeds each
-    (di, dj, p, q, a, b) combination, or none.
+    (di, dj, p, q, a, b) combination, or none. The base-resolution kernel
+    spans di in [-pad_lo, pad_lo] with pad_lo = ceil((pad + r - 1) / r).
     """
+    pad = (k - 1) // 2
+    pad_lo = (pad + r - 1) // r
+    klo = 2 * pad_lo + 1
     rr = r * r
-    dm_idx = np.zeros((3, 3, rr, rr), np.int64)
-    dn_idx = np.zeros((3, 3, rr, rr), np.int64)
-    mask = np.zeros((3, 3, rr, rr), bool)
-    for di in (-1, 0, 1):
-        for dj in (-1, 0, 1):
+    dm_idx = np.zeros((klo, klo, rr, rr), np.int64)
+    dn_idx = np.zeros((klo, klo, rr, rr), np.int64)
+    mask = np.zeros((klo, klo, rr, rr), bool)
+    for di in range(-pad_lo, pad_lo + 1):
+        for dj in range(-pad_lo, pad_lo + 1):
             for p in range(r):
                 for q in range(r):
                     for a in range(r):
                         for b in range(r):
                             dm = di * r + p - a
                             dn = dj * r + q - b
-                            if -1 <= dm <= 1 and -1 <= dn <= 1:
-                                ij = (di + 1, dj + 1, p * r + q, a * r + b)
-                                dm_idx[ij] = dm + 1
-                                dn_idx[ij] = dn + 1
+                            if -pad <= dm <= pad and -pad <= dn <= pad:
+                                ij = (di + pad_lo, dj + pad_lo,
+                                      p * r + q, a * r + b)
+                                dm_idx[ij] = dm + pad
+                                dn_idx[ij] = dn + pad
                                 mask[ij] = True
     return dm_idx, dn_idx, mask
 
 
 def commute_conv_through_shuffle(kernel: jnp.ndarray, r: int) -> jnp.ndarray:
-    """Repack a 3x3 HWIO kernel meant for ``conv(pixel_shuffle_r(x))`` into an
-    equivalent kernel for ``pixel_shuffle_r(conv'(x))``.
+    """Repack an odd k x k HWIO kernel meant for ``conv(pixel_shuffle_r(x))``
+    into an equivalent kernel for ``pixel_shuffle_r(conv'(x))``.
 
-    (C, O) at r-fold resolution -> (C*r^2, O*r^2) at base resolution. Exact:
-    same multiply-adds, same zero-padding semantics at the border. This is
-    the key TPU fix for the reference's 3-channel convs at upscaled
-    resolution (FastTransformer/model.py:265,317) — 3 output lanes waste
-    125/128 of the MXU; r^2-packed channels at 1/r^2 the pixels do not.
+    (k, k, C, O) at r-fold resolution -> (k', k', C*r^2, O*r^2) at base
+    resolution with k' = 2*ceil(((k-1)/2 + r - 1)/r) + 1 (3x3 stays 3x3 for
+    every r; a 5x5 through r=2 becomes 3x3). Exact: same multiply-adds, same
+    zero-padding semantics at the border (any tap reading a padded high-res
+    pixel reads a padded base-res packed pixel). This is the key TPU fix for
+    the reference's 3-channel convs at upscaled resolution
+    (FastTransformer/model.py:265,317) — 3 output lanes waste 125/128 of the
+    MXU; r^2-packed channels at 1/r^2 the pixels do not. Channel orders
+    match ops.pixel_shuffle: input (c, p, q), output (o, a, b).
     """
-    dm_idx, dn_idx, mask = _commute_maps(r)
+    k = int(kernel.shape[0])
+    dm_idx, dn_idx, mask = _commute_maps(r, k)
+    klo = dm_idx.shape[0]
     c, o = kernel.shape[2], kernel.shape[3]
-    g = kernel[dm_idx, dn_idx]  # (3, 3, r^2(pq), r^2(ab), C, O)
+    g = kernel[dm_idx, dn_idx]  # (k', k', r^2(pq), r^2(ab), C, O)
     g = jnp.where(jnp.asarray(mask)[..., None, None], g, 0)
-    g = g.transpose(0, 1, 4, 2, 5, 3)  # (3, 3, C, pq, O, ab)
-    return g.reshape(3, 3, c * r * r, o * r * r)
+    g = g.transpose(0, 1, 4, 2, 5, 3)  # (k', k', C, pq, O, ab)
+    return g.reshape(klo, klo, c * r * r, o * r * r)
