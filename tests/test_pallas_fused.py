@@ -266,3 +266,46 @@ def test_packed_path_falls_back_on_unsupported_geometry():
     y_p = m_p.apply(params, x, upscale_factor=3, require_ratio=False)
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_c),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_residual_packed_path_matches_exact():
+    """ResidualTransformer packed_serve must equal the exact path at every
+    integer scale (no composed-tail deviation exists in this model — the
+    bicubic convs are exact incl. borders via edge padding), and fall back
+    for non-integer geometries."""
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    kw = dict(dtype=jnp.float32, token_hw=(2, 2))
+    x = jnp.asarray(rng.random((1, 32, 32, 3)), jnp.float32)
+    m_e = get_model("ResidualTransformer", **kw)
+    m_p = get_model("ResidualTransformer", packed_serve=True, **kw)
+    params = m_e.init(key, x, res_out=(64, 64))
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, v: (jax.random.normal(
+            jax.random.fold_in(key, hash(str(p)) % (2**31)), v.shape) * 0.1
+            if "bias" in str(p[-1]) else v),
+        params)
+    for s in (2, 3, 4, 6):
+        y_e = m_e.apply(params, x, res_out=(32 * s, 32 * s))
+        y_p = m_p.apply(params, x, res_out=(32 * s, 32 * s))
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_e),
+                                   rtol=1e-5, atol=1e-5)
+    # Non-integer ratio: gate must not fire (identical object path).
+    y_e = m_e.apply(params, x, res_out=(48, 48))
+    y_p = m_p.apply(params, x, res_out=(48, 48))
+    np.testing.assert_array_equal(np.asarray(y_p), np.asarray(y_e))
+
+
+def test_bicubic_upscale_conv_packed_exact(rng):
+    from transformerupscaler_tpu.ops.pixel_shuffle import pixel_shuffle
+    from transformerupscaler_tpu.ops.resize import (
+        bicubic_upscale_conv_packed,
+        interpolate_bicubic,
+    )
+
+    for r in (2, 3, 4, 6):
+        x = jnp.asarray(rng.random((2, 12, 16, 3)), jnp.float32)
+        want = interpolate_bicubic(x, (12 * r, 16 * r))
+        got = pixel_shuffle(bicubic_upscale_conv_packed(x, r), r)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)

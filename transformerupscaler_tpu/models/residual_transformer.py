@@ -74,6 +74,16 @@ class ResidualTransformer(nn.Module):
     dropout: float = 0.1
     patch_size: int = 8
     token_hw: tuple[int, int] = (45, 80)  # 720p -> downsample -> /8
+    # All-XLA packed serving path (same design as FastTransformer's
+    # packed_serve): every conv/embed rides the width-2-packed layout, and
+    # both bicubic branches run as exact block-packed convs
+    # (ops/resize.bicubic_upscale_conv_packed) instead of 3-lane resize
+    # matmuls. Integer-upscale geometries only; bit-exact up to fp
+    # reassociation (no composed-tail deviation in this model).
+    packed_serve: bool = False
+    # Accepted for engine/CLI parity with FastTransformer; packed_serve is
+    # the only serving transform this model has.
+    compose_tails: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -105,6 +115,15 @@ class ResidualTransformer(nn.Module):
         res_out, _ = resolve_geometry(x.shape[1:3], res_out, upscale_factor)
         x = x.astype(self.dtype)
 
+        h, w = x.shape[1:3]
+        if (self.packed_serve and deterministic
+                and not self.is_initializing()
+                and res_out[0] % h == 0 and res_out[1] % w == 0
+                and res_out[0] // h == res_out[1] // w
+                and res_out[0] // h >= 2
+                and h % 2 == 0 and w % 16 == 0):
+            return self._packed_forward(x, res_out[0] // h)
+
         upscaled_input = interpolate_bicubic(x, res_out)
 
         feat = self.conv2(self.conv1(x))
@@ -130,4 +149,90 @@ class ResidualTransformer(nn.Module):
 
         residual_up = interpolate_bicubic(residual, res_out)
         out = upscaled_input + residual_up
+        return jnp.clip(out, 0.0, 1.0)
+
+    # ------------------------------------------------------------------
+    def _packed_forward(self, x: jnp.ndarray, scale: int) -> jnp.ndarray:
+        """Integer-scale all-XLA serving path on the width-2-packed layout.
+
+        Same math as the default path (no composed-tail deviation — the
+        bicubic convs are exact including borders via edge padding): packed
+        encoder convs + stride-2 packed downsample + packed patch embed /
+        unembed, and both bicubic branches as block-packed convs emitting
+        pre-shuffle channels. The half-res residual branch upscales by
+        2*scale at 360p, is part-shuffled onto the 720p grid, added to the
+        input branch's pre-shuffle tensor, and ONE pixel shuffle emits the
+        output — the full-res image is materialized exactly once.
+        """
+        from transformerupscaler_tpu.ops.conv import (
+            conv2d_packed_raw,
+            conv2d_packed_stride2,
+        )
+        from transformerupscaler_tpu.ops.patch import (
+            patch_embed_packed,
+            patch_unembed_packed,
+        )
+        from transformerupscaler_tpu.ops.pixel_shuffle import pixel_shuffle
+        from transformerupscaler_tpu.ops.resize import (
+            bicubic_upscale_conv_packed,
+        )
+
+        b, h, w, cin = x.shape
+        xp = x.reshape(b, h, w // 2, 2 * cin)
+
+        p1 = self.conv1.variables["params"]
+        p2 = self.conv2.variables["params"]
+        pd = self.downsample.variables["params"]
+        dt = self.dtype
+        feat1 = conv2d_packed_raw(xp, p1["kernel"].astype(dt), p1["bias"],
+                                  relu=True)
+        featp = conv2d_packed_raw(feat1, p2["kernel"].astype(dt), p2["bias"],
+                                  relu=True)
+        downp = conv2d_packed_stride2(featp, pd["kernel"].astype(dt),
+                                      pd["bias"])
+
+        tokens = patch_embed_packed(downp, self.patch_embed_kernel,
+                                    self.patch_embed_bias)
+        bt, ht, wt, d = tokens.shape
+        if (ht, wt) != tuple(self.token_hw):
+            raise ValueError(
+                f"ResidualTransformer pos_embed is baked for token grid "
+                f"{self.token_hw} (720x1280 input); got {(ht, wt)}")
+        seq = tokens.reshape(bt, ht * wt, d) + self.pos_embed.astype(dt)
+        for block in self.blocks:
+            seq = block(seq, deterministic=True)
+        tokens = seq.reshape(bt, ht, wt, d)
+
+        combined = downp + patch_unembed_packed(
+            tokens, self.patch_unembed_kernel, self.patch_unembed_bias)
+
+        pc1 = self.decoder_conv1.variables["params"]
+        dec = conv2d_packed_raw(combined, pc1["kernel"].astype(dt),
+                                pc1["bias"], relu=True)
+        # decoder_conv2 is 64->3: tiny FLOPs — unpack (free reshape) and let
+        # conv2d's macro routing fill the lanes.
+        dec_px = dec.reshape(b, h // 2, w // 2, dec.shape[-1] // 2)
+        residual = self.decoder_conv2(dec_px)
+
+        # Residual branch: bicubic x(2*scale) at half res -> pre-shuffle
+        # channels (3, I, J) with I, J in [0, 2*scale); part-shuffle the
+        # factor-2 onto the full-res grid, keeping (3, I%scale, J%scale) in
+        # channels: full-res pixel row = scale*(2g + a) + i' with
+        # a = I // scale, i' = I % scale.
+        r = scale
+        pre2 = bicubic_upscale_conv_packed(residual, 2 * r)
+        # Reorder (c, I, J) -> ((c, i', j'), a, b): pixel_shuffle(2) then
+        # leaves (c, i', j') pre-shuffle-r channels on the full-res grid.
+        perm = []
+        for c in range(3):
+            for i in range(r):
+                for j in range(r):
+                    for a in range(2):
+                        for bb in range(2):
+                            perm.append((c * 2 * r + (a * r + i)) * 2 * r
+                                        + (bb * r + j))
+        resid_pre = pixel_shuffle(pre2[..., jnp.asarray(perm)], 2)
+
+        input_pre = bicubic_upscale_conv_packed(x, r)
+        out = pixel_shuffle(input_pre + resid_pre, r)
         return jnp.clip(out, 0.0, 1.0)

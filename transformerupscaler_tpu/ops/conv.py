@@ -297,6 +297,84 @@ def conv2d_tail_packed(xp: jnp.ndarray, kernel: jnp.ndarray,
     return out
 
 
+def pack_tail_valid(kernel: jnp.ndarray, block: int) -> jnp.ndarray:
+    """Like pack_tail_stride4 but for VALID windows over a pre-padded input:
+    output pixel block*b+s reads input pixels block*b+s+dx, dx in [0, kw) —
+    no negative offsets, so kernels of EVEN effective support (e.g. the
+    4-tap bicubic phases embedded in a 5-tap frame) work too."""
+    kh, kw, cin, co = kernel.shape
+    jmax = (block - 1 + kw - 1) // 2
+    kwp = jmax + 1
+    kp = jnp.zeros((kh, kwp, 2 * cin, block * co), kernel.dtype)
+    for s in range(block):
+        for dx in range(kw):
+            t = s + dx
+            j = t // 2
+            pxi = t % 2
+            kp = kp.at[:, j, pxi * cin:(pxi + 1) * cin,
+                       s * co:(s + 1) * co].add(kernel[:, dx])
+    return kp
+
+
+def conv2d_tail_packed_valid(xp: jnp.ndarray, kernel: jnp.ndarray,
+                             bias: jnp.ndarray | None = None,
+                             relu: bool = False,
+                             block: int = 8) -> jnp.ndarray:
+    """VALID-window macro-``block`` conv on a width-2-packed PRE-PADDED
+    input: xp is (B, H + kh - 1, (W + kw - 1)/2, 2Cin) (the caller pads the
+    pixel domain, e.g. edge-replicate for resize border semantics);
+    returns (B, H, W/block, block*co)."""
+    kh, kw, cin, co = kernel.shape
+    jmax = (block - 1 + kw - 1) // 2
+    kwp = jmax + 1
+    kp = pack_tail_valid(kernel, block).astype(xp.dtype)
+    dn = lax.conv_dimension_numbers(xp.shape, kp.shape, ("NHWC", "HWIO", "NHWC"))
+    out = lax.conv_general_dilated(
+        xp, kp, (1, block // 2), ((0, 0), (0, 0)),
+        dimension_numbers=dn,
+    ).astype(xp.dtype)
+    if bias is not None:
+        out = out + jnp.tile(bias.astype(xp.dtype), block)
+    if relu:
+        out = jax.nn.relu(out)
+    return out
+
+
+def conv2d_packed_stride2(xp: jnp.ndarray, kernel: jnp.ndarray,
+                          bias: jnp.ndarray | None = None,
+                          relu: bool = False) -> jnp.ndarray:
+    """Stride-2 same-pad 3x3 conv on a width-2-packed input, emitting the
+    packed layout at half resolution (the reference's downsample conv,
+    ResidualTransformer/model.py:88, without ever unpacking).
+
+    xp: (B, H, W/2, 2Cin) -> (B, H/2, W/4, 2Cout). Output pixel w_o (parity
+    pxo, packed col c_o = w_o // 2) reads input pixel 2*w_o + dx, i.e.
+    packed col 2*c_o + floor((2*pxo + dx)/2), parity (2*pxo + dx) % 2 — a
+    stride-(2, 2) conv over packed cols with 1 col of left zero padding.
+    """
+    kh, kw, cin, cout = kernel.shape
+    assert (kh, kw) == (3, 3)
+    kp = jnp.zeros((3, 3, 2 * cin, 2 * cout), kernel.dtype)
+    for pxo in range(2):
+        for dx in (-1, 0, 1):
+            t = 2 * pxo + dx
+            j = (t - (t % 2)) // 2 + 1
+            pxi = t % 2
+            kp = kp.at[:, j, pxi * cin:(pxi + 1) * cin,
+                       pxo * cout:(pxo + 1) * cout].add(kernel[:, dx + 1])
+    kp = kp.astype(xp.dtype)
+    dn = lax.conv_dimension_numbers(xp.shape, kp.shape, ("NHWC", "HWIO", "NHWC"))
+    out = lax.conv_general_dilated(
+        xp, kp, (2, 2), ((1, 1), (1, 0)),
+        dimension_numbers=dn,
+    ).astype(xp.dtype)
+    if bias is not None:
+        out = out + jnp.tile(bias.astype(xp.dtype), 2)
+    if relu:
+        out = jax.nn.relu(out)
+    return out
+
+
 def conv2d_macro(x: jnp.ndarray, kernel: jnp.ndarray,
                  bias: jnp.ndarray | None = None, padding: int = 1,
                  relu: bool = False, block: int = 8) -> jnp.ndarray:
