@@ -366,6 +366,10 @@ class FastTransformer(nn.Module):
         # one base-res conv emitting pixel_shuffle(scale)-ordered channels.
         ka, ba = composed_tail_kernel(self.up1._params, scale,
                                       self.up1_conv_kernel, None, dt)
+        # co >= 64 (scale 6: 108 channels) already fills the MXU lanes as a
+        # direct conv; block-packing would only add its 2*kwp/kw MAC
+        # inflation (measured: packed x6 33.3 ms vs direct 30.9).
+        direct_tails = ka.shape[3] >= 64
         blk = tail_block(ka.shape[3], w)
         if i8b:
             from transformerupscaler_tpu.ops.patch import (
@@ -376,6 +380,12 @@ class FastTransformer(nn.Module):
             fq, s2 = act_q("feat", featp, 1)
             a12 = conv2d_tail_packed_int8(fq, ka, s2, ba, relu=True,
                                           out_dtype=dt, block=blk)
+        elif direct_tails:
+            from transformerupscaler_tpu.ops.conv import conv2d
+
+            a12 = conv2d(featp.reshape(b, h, w, -1), ka, ba,
+                         padding=(ka.shape[0] - 1) // 2, relu=True,
+                         auto_macro=False)
         else:
             a12 = conv2d_tail_packed(featp, ka, ba, relu=True, block=blk)
         if i8b:
@@ -420,6 +430,11 @@ class FastTransformer(nn.Module):
             dq, s4 = act_q("dec", dec, 3)
             b12 = conv2d_tail_packed_int8(dq, kc, s4, bc, out_dtype=dt,
                                           block=blk)
+        elif direct_tails:
+            from transformerupscaler_tpu.ops.conv import conv2d
+
+            b12 = conv2d(dec.reshape(b, h, w, -1), kc, bc,
+                         padding=(kc.shape[0] - 1) // 2, auto_macro=False)
         else:
             b12 = conv2d_tail_packed(dec, kc, bc, block=blk)
 

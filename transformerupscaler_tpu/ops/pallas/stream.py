@@ -1,0 +1,187 @@
+"""Standalone row-streamed Pallas kernels for the packed serving path.
+
+Round-2's fused encoder/decoder kernels (ops/pallas/encoder.py) measured a
+real win but blew up the remote Mosaic compiler (741 s / OOM) — isolated to
+the per-tap de-strided slices of a sublane-split (rows, groups, 4, 128)
+scratch view inside ``_tail_macro8`` (PERFORMANCE.md). These kernels keep
+the same math with compile-friendly access patterns:
+
+  - ``conv3x3_packed_stream``: just the 3x3 conv on the width-2-packed
+    layout — 9 static-slice (M, 128) x (128, 128) MXU matmuls per 8-row
+    cell, nothing else. (XLA's conv emitter runs these at ~65 TF/s bf16;
+    dense static-slice GEMMs should do better.)
+  - ``tail_macro8_stream``: the composed-tail macro-8 GEMMs reading a
+    PRE-DE-INTERLEAVED input laid out (B, H, 4, W/8, 128) — packed col
+    4g + j lives at [:, :, j, g, :], so every tap slice in the kernel is a
+    CONTIGUOUS static slice (no strided or sublane-split access anywhere).
+    The one-time de-interleave runs in XLA (``deinterleave4``, a single
+    transpose at ~2 HBM passes).
+
+Parity: same reduction set as ops/conv.conv2d_packed_raw /
+conv2d_tail_packed(block=8) — exact modulo bf16 reassociation. Serving-only
+(no VJPs).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from transformerupscaler_tpu.ops.pallas.encoder import (
+    _conv3_packed,
+    _halo_specs,
+    _wspec,
+    pack_conv3,
+    pack_tail_macro8,
+)
+
+_R = 8  # output rows per grid cell
+
+
+def _conv_kernel(cur, above, below, w, b, out, slab, *, wp2, relu):
+    i = pl.program_id(1)
+    n = pl.num_programs(1)
+    dt = out.dtype
+
+    slab[:] = jnp.zeros_like(slab)
+    slab[1:1 + _R, 1:1 + wp2, :] = cur[0]
+
+    @pl.when(i > 0)
+    def _():
+        slab[0:1, 1:1 + wp2, :] = above[0, 3:4]
+
+    @pl.when(i < n - 1)
+    def _():
+        slab[1 + _R:2 + _R, 1:1 + wp2, :] = below[0, 0:1]
+
+    y = _conv3_packed(slab, w, _R, wp2, b, relu=relu)
+    out[0] = y.astype(dt)
+
+
+def conv3x3_packed_stream(xp: jnp.ndarray, kernel, bias,
+                          relu: bool = False,
+                          interpret: bool | None = None) -> jnp.ndarray:
+    """3x3 same-pad conv on the width-2-packed layout, row-streamed.
+
+    xp: (B, H, W/2, 2*64) packed input; kernel (3, 3, 64, 64) HWIO raw.
+    Returns packed (B, H, W/2, 128). H % 8 == 0.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, wp2, _ = xp.shape
+    dt = xp.dtype
+    w = pack_conv3(kernel).astype(dt)
+    bp = jnp.tile(jnp.asarray(bias, dt).reshape(1, 64), (1, 2))
+    out = pl.pallas_call(
+        partial(_conv_kernel, wp2=wp2, relu=relu),
+        grid=(b, h // _R),
+        in_specs=_halo_specs(b, h, wp2) + [_wspec(w), _wspec(bp)],
+        out_specs=pl.BlockSpec((1, _R, wp2, 128), lambda nb, i: (nb, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, wp2, 128), dt),
+        scratch_shapes=[pltpu.VMEM((_R + 2, wp2 + 2, 128), dt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, xp, xp, w, bp)
+    return out
+
+
+def deinterleave4(xp: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, WP2, 128) packed -> (B, H, 4, WP2/4, 128): packed col 4g + j
+    at [:, :, j, g, :] (one XLA transpose; makes every tail tap contiguous).
+    """
+    b, h, wp2, c = xp.shape
+    return xp.reshape(b, h, wp2 // 4, 4, c).transpose(0, 1, 3, 2, 4)
+
+
+def _tail_kernel(cur, above, below, w, bias, out, slab, *, g_img, pad_h,
+                 boff, relu):
+    i = pl.program_id(1)
+    n = pl.num_programs(1)
+    dt = out.dtype
+    kh, wcols, _, nout = w.shape
+    wb = g_img  # output groups per row == image W/8
+
+    # slab: (R + kh - 1, 4, G + 2, 128); one zero group (4 packed cols) each
+    # side covers the widest tail halo; zero rows outside the image give the
+    # composed path's zero-pad semantics.
+    slab[:] = jnp.zeros_like(slab)
+    slab[pad_h:pad_h + _R, :, 1:1 + g_img, :] = cur[0]
+
+    @pl.when(i > 0)
+    def _():
+        slab[0:pad_h, :, 1:1 + g_img, :] = above[0, 4 - pad_h:4]
+
+    @pl.when(i < n - 1)
+    def _():
+        slab[pad_h + _R:2 * pad_h + _R, :, 1:1 + g_img, :] = below[0, 0:pad_h]
+
+    acc = jnp.zeros((_R * wb, nout), jnp.float32)
+    for dy in range(kh):
+        for c in range(wcols):
+            rel = c - boff + 4  # packed col offset within the padded slab
+            g0, j = rel // 4, rel % 4
+            piece = slab[dy:dy + _R, j, g0:g0 + wb, :]
+            acc = acc + jnp.dot(piece.reshape(_R * wb, 128), w[dy, c],
+                                preferred_element_type=jnp.float32)
+    acc = acc + bias[0:1, :].astype(jnp.float32)
+    if relu:
+        acc = jnp.maximum(acc, 0.0)
+    out[0] = acc.reshape(_R, wb, nout).astype(dt)
+
+
+def tail_macro8_stream(xt: jnp.ndarray, kernel, bias=None,
+                       relu: bool = False,
+                       interpret: bool | None = None) -> jnp.ndarray:
+    """Composed-tail conv as macro-8 GEMMs, row-streamed.
+
+    xt: (B, H, 4, G, 128) de-interleaved packed features (deinterleave4 of
+    the conv output); kernel: raw (kh, kw, 64, co) composed tail. Returns
+    (B, H, G, 8*co) macro-8 layout (reshape to (B, H, W, co) is free).
+    H % 8 == 0; pad_h = (kh-1)/2 <= 4.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, _, g_img, _ = xt.shape
+    dt = xt.dtype
+    kh, kw, cin, co = kernel.shape
+    pad_h = (kh - 1) // 2
+    w, boff = pack_tail_macro8(kernel)
+    w = w.astype(dt)
+    bp = jnp.tile(
+        jnp.asarray(bias if bias is not None else jnp.zeros((co,)), dt)
+        .reshape(1, co), (1, 8))
+
+    nr = _R // 4
+    last = h // 4 - 1
+    in_specs = [
+        pl.BlockSpec((1, _R, 4, g_img, 128), lambda nb, i: (nb, i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4, 4, g_img, 128),
+                     lambda nb, i: (nb, jnp.maximum(i * nr - 1, 0), 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4, 4, g_img, 128),
+                     lambda nb, i: (nb, jnp.minimum(i * nr + nr, last),
+                                    0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        _wspec(w), _wspec(bp),
+    ]
+    out = pl.pallas_call(
+        partial(_tail_kernel, g_img=g_img, pad_h=pad_h, boff=boff, relu=relu),
+        grid=(b, h // _R),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, _R, g_img, 8 * co),
+                               lambda nb, i: (nb, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, g_img, 8 * co), dt),
+        scratch_shapes=[pltpu.VMEM((_R + 2 * pad_h, 4, g_img + 2, 128), dt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(xt, xt, xt, w, bp)
+    return out
