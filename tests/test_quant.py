@@ -169,3 +169,26 @@ def test_int8_packed_conv_exact_on_grid():
                                    relu=True, out_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got5).reshape(1, 8, 16, 12),
                                np.asarray(ref5), rtol=1e-5, atol=1e-5)
+
+
+def test_multiframe_calibration_and_clip_check(tmp_path):
+    """calibrate_int8 over several frames takes the per-channel max; a
+    brighter held-out frame reports clip risk via calibration_check."""
+    import jax.numpy as jnp
+    from transformerupscaler_tpu.infer_lib import UpscalerEngine
+
+    rng = np.random.default_rng(1)
+    frames = [rng.random((48, 64, 3)).astype(np.float32) * 0.5
+              for _ in range(3)]
+    eng = UpscalerEngine("FastTransformer", checkpoint_dir=str(tmp_path),
+                         dtype=jnp.float32, compose_tails=True,
+                         int8_serve=True)
+    eng.calibrate_int8(frames, res_out=(72, 96), margin=1.1)
+    assert eng._calib_frames == 3
+    # A calibration member is covered by construction (dyn <= max/1.1)...
+    rep = eng.calibration_check(frames[0], res_out=(72, 96))
+    assert all(v["max_ratio"] <= 1.0 for v in rep.values())
+    # ...and a much brighter frame must surface a clip ratio > 1 somewhere.
+    rep_hot = eng.calibration_check(
+        np.ones((48, 64, 3), np.float32), res_out=(72, 96))
+    assert max(v["max_ratio"] for v in rep_hot.values()) > 1.0

@@ -1,16 +1,22 @@
 #!/usr/bin/env python
 """Quality gate for the int8 serving mode.
 
-For real images and the trained FastTransformer checkpoint, measures:
+For real images and a trained FastTransformer checkpoint, measures:
   - PSNR(int8_serve output, f32-path output): the quantization error itself
   - PSNR(model output, ground truth) for f32 vs int8 (the delta is what the
     BASELINE.md <=0.05 dB bar is about)
+  - clip risk of the static calibration on every eval frame
+    (UpscalerEngine.calibration_check: dynamic-vs-static scale ratios)
 
-Workload mirrors tools/make_demos.py: a 4K ground truth image downscaled to
-720p input, upscaled 2x by the model, compared against the 1440p-downscaled
-ground truth.
+Calibration uses the FIRST --calib_frames images (per-channel max across
+frames + margin); evaluation runs on the REMAINING frames, so the reported
+deltas are held-out. Geometry and checkpoint are flags so the gate can run
+across >=2 checkpoints x >=2 geometries.
 
-Usage: python tools/int8_quality.py [--images N] [--calib static|dynamic]
+Usage:
+  python tools/int8_quality.py [--images N] [--calib_frames K]
+      [--scope residual|full] [--res_out H,W] [--checkpoint_dir D]
+      [--margin M] [--calib static|dynamic]
 """
 
 import argparse
@@ -30,11 +36,17 @@ def psnr(a, b):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--images", type=int, default=4)
+    ap.add_argument("--images", type=int, default=14,
+                    help="total images (first --calib_frames calibrate, "
+                         "the rest evaluate)")
+    ap.add_argument("--calib_frames", type=int, default=10)
     ap.add_argument("--calib", choices=["static", "dynamic"],
                     default="static")
     ap.add_argument("--scope", choices=["full", "residual"], default="full")
     ap.add_argument("--margin", type=float, default=1.25)
+    ap.add_argument("--res_out", type=str, default="1440,2560",
+                    help="output geometry H,W (input is 720p)")
+    ap.add_argument("--checkpoint_dir", type=str, default=None)
     ap.add_argument("--image_dir", type=str,
                     default="/root/reference/images/training_set")
     args = ap.parse_args()
@@ -45,29 +57,37 @@ def main():
 
     paths = sorted(glob.glob(os.path.join(args.image_dir, "*.png")))
     paths = paths[:args.images]
+    res_out = tuple(int(v) for v in args.res_out.split(","))
 
     eng_f = UpscalerEngine("FastTransformer", dtype=jnp.float32,
+                           checkpoint_dir=args.checkpoint_dir,
                            compose_tails=True, packed_serve=True)
     eng_q = UpscalerEngine("FastTransformer", dtype=jnp.float32,
+                           checkpoint_dir=args.checkpoint_dir,
                            compose_tails=True, int8_serve=True,
                            int8_scope=args.scope)
-    print(f"checkpoint: {eng_f.checkpoint_path}", flush=True)
+    print(f"checkpoint: {eng_f.checkpoint_path}  res_out={res_out}  "
+          f"scope={args.scope}", flush=True)
 
-    res_out = (1440, 2560)
-    first = True
+    def load(p, wh):
+        return np.asarray(Image.open(p).convert("RGB").resize(
+            wh, Image.BICUBIC), np.float32) / 255.0
+
+    lrs = [load(p, (1280, 720)) for p in paths]
+    if args.calib == "static":
+        n_cal = min(args.calib_frames, max(1, len(paths) - 2))
+        eng_q.calibrate_int8(lrs[:n_cal], res_out=res_out,
+                             margin=args.margin)
+        print(f"calibrated on {n_cal} frames (margin {args.margin})",
+              flush=True)
+        eval_paths = list(zip(paths[n_cal:], lrs[n_cal:]))
+    else:
+        eval_paths = list(zip(paths, lrs))
+
     rows = []
-    for p in paths:
-        img = Image.open(p).convert("RGB")
-        lr = np.asarray(img.resize((1280, 720), Image.BICUBIC),
-                        np.float32) / 255.0
-        gt = np.asarray(img.resize((2560, 1440), Image.BICUBIC),
-                        np.float32) / 255.0
-        if first and args.calib == "static":
-            scales = eng_q.calibrate_int8(lr, res_out=res_out,
-                                          margin=args.margin)
-            print(f"calibrated ({len(scales)} scale groups, "
-                  f"margin {args.margin})", flush=True)
-            first = False
+    worst_clip = 0.0
+    for p, lr in eval_paths:
+        gt = load(p, (res_out[1], res_out[0]))
         y_f = eng_f.upscale(lr, res_out=res_out)
         y_q = eng_q.upscale(lr, res_out=res_out)
         row = {
@@ -77,17 +97,27 @@ def main():
             "psnr_int8_gt": psnr(y_q, gt),
         }
         row["delta_gt"] = row["psnr_f32_gt"] - row["psnr_int8_gt"]
+        clip = ""
+        if args.calib == "static":
+            rep = eng_q.calibration_check(lr, res_out=res_out)
+            mr = max(v["max_ratio"] for v in rep.values())
+            worst_clip = max(worst_clip, mr)
+            clip = f"   clip-ratio {mr:5.2f}"
         rows.append(row)
         print(f"{row['image']:20s} int8-vs-f32 {row['psnr_q_vs_f32']:6.2f} dB"
               f"   f32-vs-GT {row['psnr_f32_gt']:6.2f}"
               f"   int8-vs-GT {row['psnr_int8_gt']:6.2f}"
-              f"   delta {row['delta_gt']:+.4f} dB", flush=True)
+              f"   delta {row['delta_gt']:+.4f} dB{clip}", flush=True)
 
     d = [r["delta_gt"] for r in rows]
     q = [r["psnr_q_vs_f32"] for r in rows]
     print(f"\nmean PSNR(int8, f32) = {np.mean(q):.2f} dB; "
           f"mean GT delta = {np.mean(d):+.4f} dB "
           f"(max {max(d):+.4f})", flush=True)
+    if args.calib == "static":
+        print(f"worst dynamic/static scale ratio across eval frames: "
+              f"{worst_clip:.3f} ({'no clipping' if worst_clip <= 1.0 else 'CLIPPING'})",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -46,6 +46,9 @@ class UpscalerEngine:
             packed_serve=packed_serve, int8_serve=int8_serve,
             int8_scope=int8_scope)
         self.model = get_model(model_name, **self._model_kwargs)
+        # The no-baked-scales model: calibration passes sow DYNAMIC scales
+        # through this even after static scales are baked into self.model.
+        self._base_model = self.model
         self.dtype = dtype
         self._donate = donate
         self._cache: dict = {}
@@ -157,18 +160,10 @@ class UpscalerEngine:
         out = np.asarray(jax.device_get(out)).astype(np.float32)
         return out[0] if squeeze else out
 
-    def calibrate_int8(self, image: np.ndarray, res_out=None,
-                       upscale_factor=None, require_ratio: bool = True,
-                       margin: float = 1.25) -> tuple:
-        """Static int8 activation calibration (int8_serve engines only).
-
-        Runs one dynamic-quant forward on a representative frame, harvests
-        the sown per-tensor activation scales, pads them by ``margin``
-        (headroom against brighter frames clipping), and rebuilds the model
-        with the scales baked in as trace-time constants — the quantize steps
-        then fuse into the producer conv epilogues instead of costing an
-        abs-max pass each. Returns the scale tuple.
-        """
+    def _dynamic_scale_pass(self, image, res_out, upscale_factor,
+                            require_ratio):
+        """One dynamic-quant forward; returns the sown per-tensor activation
+        scale arrays keyed by name."""
         x = np.asarray(image)
         if x.dtype == np.uint8:
             x = x.astype(np.float32) / 255.0
@@ -184,8 +179,8 @@ class UpscalerEngine:
             kwargs["upscale_factor"] = upscale_factor
         kwargs["require_ratio"] = require_ratio
         self._ensure_params(xj, kwargs)
-        _, inter = self.model.apply(self._params, xj, **kwargs,
-                                    mutable=["intermediates"])
+        _, inter = self._base_model.apply(self._params, xj, **kwargs,
+                                          mutable=["intermediates"])
         raw = inter["intermediates"]
         if not any(k.startswith("int8_scale_") for k in raw):
             raise RuntimeError(
@@ -196,14 +191,45 @@ class UpscalerEngine:
                 "a supported scale with h % patch_size == 0 and w % 16 == 0; "
                 "calibrate with a frame/geometry that will actually serve, "
                 "or baked placeholder scales would silently wreck quality.")
+        return {k[len("int8_scale_"):]: np.asarray(v[0], np.float64)
+                for k, v in raw.items() if k.startswith("int8_scale_")}
+
+    def calibrate_int8(self, images, res_out=None,
+                       upscale_factor=None, require_ratio: bool = True,
+                       margin: float = 1.25) -> tuple:
+        """Static int8 activation calibration (int8_serve engines only).
+
+        Runs a dynamic-quant forward over each calibration frame (a single
+        HWC/NHWC array or a list of frames — use >=10 DIVERSE frames: a
+        single-frame calibration silently clips on brighter scenes), takes
+        the per-channel maximum of the sown activation scales across frames,
+        pads by ``margin``, and rebuilds the model with the scales baked in
+        as trace-time constants — the quantize steps then fuse into the
+        producer conv epilogues instead of costing an abs-max pass each.
+        Returns the scale tuple; ``calibration_check`` reports clip risk on
+        held-out frames.
+        """
+        if isinstance(images, np.ndarray) and images.ndim == 4:
+            frames = list(images)
+        elif isinstance(images, (list, tuple)):
+            frames = list(images)
+        else:
+            frames = [images]
+        acc: dict = {}
+        for f in frames:
+            got = self._dynamic_scale_pass(f, res_out, upscale_factor,
+                                           require_ratio)
+            for k, v in got.items():
+                acc[k] = np.maximum(acc[k], v) if k in acc else v
+        self._calib_scales = {k: v * margin for k, v in acc.items()}
+        self._calib_frames = len(frames)
 
         def grab(n):
             # "residual" scope never quantizes some tensors; placeholder 1.0
             # keeps tuple indices stable.
-            if f"int8_scale_{n}" not in raw:
+            if n not in self._calib_scales:
                 return (1.0,)
-            return tuple((np.asarray(raw[f"int8_scale_{n}"][0], np.float64)
-                          * margin).tolist())
+            return tuple(self._calib_scales[n].tolist())
 
         scales = tuple(grab(n)
                        for n in ("feat1", "feat", "combined", "dec", "tokens"))
@@ -212,6 +238,29 @@ class UpscalerEngine:
                                   "int8_scales": scales})
         self._cache.clear()
         return scales
+
+    def calibration_check(self, image, res_out=None, upscale_factor=None,
+                          require_ratio: bool = True) -> dict:
+        """Clip-risk report for a held-out frame against the baked scales.
+
+        For each quantized tensor, compares the frame's dynamic per-channel
+        scale against the calibrated static scale: ratio > 1 means values on
+        that channel exceed the int8 range and clip. Returns
+        {name: {"max_ratio": r, "clip_channel_frac": f}} — max_ratio <= 1
+        everywhere means the calibration covers this frame with margin.
+        """
+        if not getattr(self, "_calib_scales", None):
+            raise RuntimeError("calibration_check requires calibrate_int8 "
+                               "to have run first")
+        got = self._dynamic_scale_pass(image, res_out, upscale_factor,
+                                       require_ratio)
+        report = {}
+        for k, dyn in got.items():
+            static = self._calib_scales[k]
+            ratio = dyn / np.maximum(static, 1e-12)
+            report[k] = {"max_ratio": float(ratio.max()),
+                         "clip_channel_frac": float((ratio > 1.0).mean())}
+        return report
 
     def warmup(self, in_hw: tuple[int, int], res_out=None, upscale_factor=None,
                require_ratio: bool = True, batch: int = 1) -> float:

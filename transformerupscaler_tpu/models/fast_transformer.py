@@ -48,10 +48,15 @@ class FastTransformer(nn.Module):
     attn_impl: str = "xla"
     int8_mlp: bool = False
     fix_ratio_bug: bool = False
-    # Serving fast path: route the conv chains (conv2 + branch A, decoder +
-    # B tail) through the fused Pallas kernels (ops/pallas/encoder.py).
-    # Requires compose_tails; scale-2 geometries with H%8==W%8==0; exact vs
-    # the composed XLA path; inference-only (the kernels define no VJP).
+    # Pallas stream kernels on the packed serving path: conv2/decoder_conv1
+    # via conv3x3_packed_stream, the composed tails via tail_macro8_stream
+    # (ops/pallas/stream.py; measured v5e @720p: conv 1.22 vs 1.87 ms XLA,
+    # tails 1.34/1.90 vs 1.85/2.39). Implies the packed pipeline; exact vs
+    # it modulo bf16 reassociation; inference-only (no VJPs). int8 stages
+    # keep the XLA int8 convs (faster still). Round 2's fused whole-branch
+    # kernels (ops/pallas/encoder.py) are retired: they measured the same
+    # math but blew up the remote Mosaic compiler (741 s/OOM,
+    # PERFORMANCE.md).
     pallas_serve: bool = False
     # All-XLA packed serving path: the whole pipeline rides the width-2
     # pixel-packed layout (H, W/2, 2C) — every conv fills all 128 MXU lanes,
@@ -123,15 +128,8 @@ class FastTransformer(nn.Module):
         x = x.astype(self.dtype)
 
         h_feat, w_feat = x.shape[1:3]
-        # Fused-conv fast path (ops/pallas/encoder.py): conv2 + branch A run
-        # in one row-streamed kernel, decoder + B tail in another.
-        fast_convs = (self.pallas_serve and self.compose_tails
-                      and deterministic and not self.is_initializing()
-                      and scale == 2 and self.base_channels == 64
-                      and h_feat % 8 == 0 and w_feat % 8 == 0)
-        if fast_convs:
-            return self._fast_forward(x, res_out, scale, require_ratio)
-        if ((self.packed_serve or self.int8_serve) and self.compose_tails
+        if ((self.packed_serve or self.int8_serve or self.pallas_serve)
+                and self.compose_tails
                 and deterministic and not self.is_initializing()
                 and scale in (2, 3, 4, 6) and h_feat % self.patch_size == 0
                 and w_feat % 16 == 0):
@@ -209,75 +207,6 @@ class FastTransformer(nn.Module):
         return jnp.clip(out, 0.0, 1.0)
 
     # ------------------------------------------------------------------
-    def _fast_forward(self, x, res_out, scale, require_ratio):
-        """Scale-2 serving path on the fused Pallas conv kernels.
-
-        Same math as the compose_tails XLA path (branch A / decoder tails
-        composed; border-ring deviation documented in PERFORMANCE.md), with
-        conv2+branchA and decoder+B-tail each one row-streamed kernel and
-        both branch outputs kept in the r^2-packed macro-8 layout until the
-        final fused squash resize.
-        """
-        from transformerupscaler_tpu.ops.conv import compose_conv3x3_kernels
-        from transformerupscaler_tpu.ops.pallas.encoder import (
-            fused_decoder,
-            fused_encoder,
-            macro8_to_nhwc,
-        )
-        from transformerupscaler_tpu.ops.pixel_shuffle import (
-            commute_conv_through_shuffle,
-            pixel_shuffle,
-        )
-
-        dt = self.dtype
-        feat1 = self.conv1(x)
-        h_feat, w_feat = feat1.shape[1:3]
-        out_hw = (h_feat * scale, w_feat * scale)
-        compare = out_hw if self.fix_ratio_bug else (out_hw[0], out_hw[0])
-        squash = require_ratio and tuple(res_out) != compare
-
-        # Branch A composed kernel: up1 stage conv (64->256) o commuted tail.
-        up = self.up1._params
-        tk = commute_conv_through_shuffle(self.up1_conv_kernel.astype(dt), 2)
-        ka, ba = compose_conv3x3_kernels(
-            up["s2_c0_kernel"].astype(dt), up["s2_c0_bias"].astype(dt),
-            tk, None)
-
-        p2 = self.conv2.variables["params"]
-        feat, a12 = fused_encoder(feat1, p2["kernel"].astype(dt),
-                                  p2["bias"], ka, ba, relu_a=True)
-
-        tokens = patch_embed(feat, self.patch_embed_kernel,
-                             self.patch_embed_bias)
-        tokens = run_window_trunk(tokens, self.blocks, self.window_size,
-                                  deterministic=True)
-        combined = patch_unembed(tokens, self.patch_unembed_kernel,
-                                 self.patch_unembed_bias) + feat
-
-        # Decoder tail: dec2 o (B stage conv o commuted tail)  ->  7x7 64->12.
-        fu = self.final_upscale._params
-        tkb = commute_conv_through_shuffle(
-            self.final_upscale_conv_kernel.astype(dt), 2)
-        tbb = jnp.repeat(self.final_upscale_conv_bias.astype(dt), 4)
-        kb, bb = compose_conv3x3_kernels(
-            fu["s2_c0_kernel"].astype(dt), fu["s2_c0_bias"].astype(dt),
-            tkb, tbb)
-        pd2 = self.decoder_conv2.variables["params"]
-        kc, bc = compose_conv3x3_kernels(
-            pd2["kernel"].astype(dt), pd2["bias"].astype(dt), kb, bb)
-
-        pd1 = self.decoder_conv1.variables["params"]
-        b12 = fused_decoder(combined, pd1["kernel"].astype(dt), pd1["bias"],
-                            kc, bc)
-
-        out12 = macro8_to_nhwc(a12 + b12)
-        if squash:
-            out = resize_shuffled(out12, 2, res_out)
-        else:
-            out = pixel_shuffle(out12, 2)
-        return jnp.clip(out, 0.0, 1.0)
-
-    # ------------------------------------------------------------------
     def _packed_forward(self, x, res_out, scale, require_ratio):
         """All-XLA serving path on the width-2-packed layout, scales 2/3/4/6.
 
@@ -342,6 +271,14 @@ class FastTransformer(nn.Module):
             self.sow("intermediates", f"int8_scale_{name}", s)
             return q, s
 
+        use_pallas = self.pallas_serve
+        if use_pallas:
+            from transformerupscaler_tpu.ops.pallas.stream import (
+                conv3x3_packed_stream,
+                deinterleave4,
+                tail_macro8_stream,
+            )
+
         p1 = self.conv1.variables["params"]
         p2 = self.conv2.variables["params"]
         if i8a:
@@ -355,8 +292,12 @@ class FastTransformer(nn.Module):
         else:
             feat1 = conv2d_packed_raw(xp, p1["kernel"].astype(dt), p1["bias"],
                                       relu=True)
-            featp = conv2d_packed_raw(feat1, p2["kernel"].astype(dt),
-                                      p2["bias"], relu=True)
+            if use_pallas:
+                featp = conv3x3_packed_stream(feat1, p2["kernel"].astype(dt),
+                                              p2["bias"], relu=True)
+            else:
+                featp = conv2d_packed_raw(feat1, p2["kernel"].astype(dt),
+                                          p2["bias"], relu=True)
 
         out_hw = (h * scale, w * scale)
         compare = out_hw if self.fix_ratio_bug else (out_hw[0], out_hw[0])
@@ -376,10 +317,15 @@ class FastTransformer(nn.Module):
                 patch_embed_packed_int8,
                 patch_unembed_packed_int8,
             )
+        pallas_tails = use_pallas and not direct_tails
+        if pallas_tails and not i8a:
+            feat_t = deinterleave4(featp)
         if i8a:
             fq, s2 = act_q("feat", featp, 1)
             a12 = conv2d_tail_packed_int8(fq, ka, s2, ba, relu=True,
                                           out_dtype=dt, block=blk)
+        elif pallas_tails:
+            a12 = tail_macro8_stream(feat_t, ka, ba, relu=True)
         elif direct_tails:
             from transformerupscaler_tpu.ops.conv import conv2d
 
@@ -415,6 +361,9 @@ class FastTransformer(nn.Module):
             cq, s3 = act_q("combined", combined, 2)
             dec = conv2d_packed_int8(cq, pd1["kernel"], s3, pd1["bias"],
                                      relu=True, out_dtype=dt)
+        elif use_pallas:
+            dec = conv3x3_packed_stream(combined, pd1["kernel"].astype(dt),
+                                        pd1["bias"], relu=True)
         else:
             dec = conv2d_packed_raw(combined, pd1["kernel"].astype(dt),
                                     pd1["bias"], relu=True)
@@ -430,6 +379,8 @@ class FastTransformer(nn.Module):
             dq, s4 = act_q("dec", dec, 3)
             b12 = conv2d_tail_packed_int8(dq, kc, s4, bc, out_dtype=dt,
                                           block=blk)
+        elif pallas_tails:
+            b12 = tail_macro8_stream(deinterleave4(dec), kc, bc)
         elif direct_tails:
             from transformerupscaler_tpu.ops.conv import conv2d
 
@@ -438,8 +389,10 @@ class FastTransformer(nn.Module):
         else:
             b12 = conv2d_tail_packed(dec, kc, bc, block=blk)
 
+        # Branch layouts may differ (macro-8 vs macro-blk vs NHWC) when the
+        # branches route differently; all are free reshapes of NHWC.
         rr3 = 3 * scale * scale
-        outp = (a12 + b12).reshape(b, h, w, rr3)
+        outp = (a12.reshape(b, h, w, rr3) + b12.reshape(b, h, w, rr3))
         if squash:
             out = resize_shuffled(outp, scale, res_out)
         else:

@@ -33,22 +33,38 @@ from jax.experimental.pallas import tpu as pltpu
 
 from transformerupscaler_tpu.ops.pallas.encoder import (
     _conv3_packed,
-    _halo_specs,
     _wspec,
     pack_conv3,
     pack_tail_macro8,
 )
 
-_R = 8  # output rows per grid cell
+
+def _halo_specs_r(b, h, wp2, rows):
+    """cur + 4-row-granular above/below views of one (B, H, WP2, 128) array
+    (generalization of encoder._halo_specs to a tunable row block)."""
+    import jax.numpy as jnp
+
+    nr = rows // 4
+    last = h // 4 - 1
+    return [
+        pl.BlockSpec((1, rows, wp2, 128), lambda nb, i: (nb, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4, wp2, 128),
+                     lambda nb, i: (nb, jnp.maximum(i * nr - 1, 0), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4, wp2, 128),
+                     lambda nb, i: (nb, jnp.minimum(i * nr + nr, last), 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
 
 
-def _conv_kernel(cur, above, below, w, b, out, slab, *, wp2, relu):
+def _conv_kernel(cur, above, below, w, b, out, slab, *, wp2, rows, relu):
     i = pl.program_id(1)
     n = pl.num_programs(1)
     dt = out.dtype
 
     slab[:] = jnp.zeros_like(slab)
-    slab[1:1 + _R, 1:1 + wp2, :] = cur[0]
+    slab[1:1 + rows, 1:1 + wp2, :] = cur[0]
 
     @pl.when(i > 0)
     def _():
@@ -56,36 +72,41 @@ def _conv_kernel(cur, above, below, w, b, out, slab, *, wp2, relu):
 
     @pl.when(i < n - 1)
     def _():
-        slab[1 + _R:2 + _R, 1:1 + wp2, :] = below[0, 0:1]
+        slab[1 + rows:2 + rows, 1:1 + wp2, :] = below[0, 0:1]
 
-    y = _conv3_packed(slab, w, _R, wp2, b, relu=relu)
+    y = _conv3_packed(slab, w, rows, wp2, b, relu=relu)
     out[0] = y.astype(dt)
 
 
 def conv3x3_packed_stream(xp: jnp.ndarray, kernel, bias,
-                          relu: bool = False,
+                          relu: bool = False, rows: int = 16,
                           interpret: bool | None = None) -> jnp.ndarray:
     """3x3 same-pad conv on the width-2-packed layout, row-streamed.
 
     xp: (B, H, W/2, 2*64) packed input; kernel (3, 3, 64, 64) HWIO raw.
-    Returns packed (B, H, W/2, 128). H % 8 == 0.
+    Returns packed (B, H, W/2, 128). H % rows == 0, rows % 4 == 0
+    (rows swept on v5e @720p: 8 -> 1.43 ms, 16 -> 1.10, 24 -> 1.39,
+    48 -> 1.50; XLA conv emitter: 1.87).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, h, wp2, _ = xp.shape
+    if h % rows:
+        rows = 8
     dt = xp.dtype
     w = pack_conv3(kernel).astype(dt)
     bp = jnp.tile(jnp.asarray(bias, dt).reshape(1, 64), (1, 2))
     out = pl.pallas_call(
-        partial(_conv_kernel, wp2=wp2, relu=relu),
-        grid=(b, h // _R),
-        in_specs=_halo_specs(b, h, wp2) + [_wspec(w), _wspec(bp)],
-        out_specs=pl.BlockSpec((1, _R, wp2, 128), lambda nb, i: (nb, i, 0, 0),
+        partial(_conv_kernel, wp2=wp2, rows=rows, relu=relu),
+        grid=(b, h // rows),
+        in_specs=_halo_specs_r(b, h, wp2, rows) + [_wspec(w), _wspec(bp)],
+        out_specs=pl.BlockSpec((1, rows, wp2, 128),
+                               lambda nb, i: (nb, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, wp2, 128), dt),
-        scratch_shapes=[pltpu.VMEM((_R + 2, wp2 + 2, 128), dt)],
+        scratch_shapes=[pltpu.VMEM((rows + 2, wp2 + 2, 128), dt)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp, xp, xp, w, bp)
     return out
@@ -100,18 +121,18 @@ def deinterleave4(xp: jnp.ndarray) -> jnp.ndarray:
 
 
 def _tail_kernel(cur, above, below, w, bias, out, slab, *, g_img, pad_h,
-                 boff, relu):
+                 boff, rows, relu):
     i = pl.program_id(1)
     n = pl.num_programs(1)
     dt = out.dtype
     kh, wcols, _, nout = w.shape
     wb = g_img  # output groups per row == image W/8
 
-    # slab: (R + kh - 1, 4, G + 2, 128); one zero group (4 packed cols) each
-    # side covers the widest tail halo; zero rows outside the image give the
-    # composed path's zero-pad semantics.
+    # slab: (rows + kh - 1, 4, G + 2, 128); one zero group (4 packed cols)
+    # each side covers the widest tail halo; zero rows outside the image
+    # give the composed path's zero-pad semantics.
     slab[:] = jnp.zeros_like(slab)
-    slab[pad_h:pad_h + _R, :, 1:1 + g_img, :] = cur[0]
+    slab[pad_h:pad_h + rows, :, 1:1 + g_img, :] = cur[0]
 
     @pl.when(i > 0)
     def _():
@@ -119,35 +140,40 @@ def _tail_kernel(cur, above, below, w, bias, out, slab, *, g_img, pad_h,
 
     @pl.when(i < n - 1)
     def _():
-        slab[pad_h + _R:2 * pad_h + _R, :, 1:1 + g_img, :] = below[0, 0:pad_h]
+        slab[pad_h + rows:2 * pad_h + rows, :, 1:1 + g_img, :] = \
+            below[0, 0:pad_h]
 
-    acc = jnp.zeros((_R * wb, nout), jnp.float32)
+    acc = jnp.zeros((rows * wb, nout), jnp.float32)
     for dy in range(kh):
         for c in range(wcols):
             rel = c - boff + 4  # packed col offset within the padded slab
             g0, j = rel // 4, rel % 4
-            piece = slab[dy:dy + _R, j, g0:g0 + wb, :]
-            acc = acc + jnp.dot(piece.reshape(_R * wb, 128), w[dy, c],
+            piece = slab[dy:dy + rows, j, g0:g0 + wb, :]
+            acc = acc + jnp.dot(piece.reshape(rows * wb, 128), w[dy, c],
                                 preferred_element_type=jnp.float32)
     acc = acc + bias[0:1, :].astype(jnp.float32)
     if relu:
         acc = jnp.maximum(acc, 0.0)
-    out[0] = acc.reshape(_R, wb, nout).astype(dt)
+    out[0] = acc.reshape(rows, wb, nout).astype(dt)
 
 
 def tail_macro8_stream(xt: jnp.ndarray, kernel, bias=None,
-                       relu: bool = False,
+                       relu: bool = False, rows: int = 24,
                        interpret: bool | None = None) -> jnp.ndarray:
     """Composed-tail conv as macro-8 GEMMs, row-streamed.
 
     xt: (B, H, 4, G, 128) de-interleaved packed features (deinterleave4 of
     the conv output); kernel: raw (kh, kw, 64, co) composed tail. Returns
     (B, H, G, 8*co) macro-8 layout (reshape to (B, H, W, co) is free).
-    H % 8 == 0; pad_h = (kh-1)/2 <= 4.
+    H % rows == 0, rows % 4 == 0; pad_h = (kh-1)/2 <= 4. rows swept on
+    v5e @720p (5x5/7x7): 8 -> 1.70/2.58 ms, 16 -> 1.85/2.34,
+    24 -> 0.97/1.69, 48 -> 1.76/-; XLA block-8: 1.85/2.39.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, h, _, g_img, _ = xt.shape
+    if h % rows:
+        rows = 8
     dt = xt.dtype
     kh, kw, cin, co = kernel.shape
     pad_h = (kh - 1) // 2
@@ -157,10 +183,11 @@ def tail_macro8_stream(xt: jnp.ndarray, kernel, bias=None,
         jnp.asarray(bias if bias is not None else jnp.zeros((co,)), dt)
         .reshape(1, co), (1, 8))
 
-    nr = _R // 4
+    nr = rows // 4
     last = h // 4 - 1
     in_specs = [
-        pl.BlockSpec((1, _R, 4, g_img, 128), lambda nb, i: (nb, i, 0, 0, 0),
+        pl.BlockSpec((1, rows, 4, g_img, 128),
+                     lambda nb, i: (nb, i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 4, 4, g_img, 128),
                      lambda nb, i: (nb, jnp.maximum(i * nr - 1, 0), 0, 0, 0),
@@ -172,16 +199,18 @@ def tail_macro8_stream(xt: jnp.ndarray, kernel, bias=None,
         _wspec(w), _wspec(bp),
     ]
     out = pl.pallas_call(
-        partial(_tail_kernel, g_img=g_img, pad_h=pad_h, boff=boff, relu=relu),
-        grid=(b, h // _R),
+        partial(_tail_kernel, g_img=g_img, pad_h=pad_h, boff=boff,
+                rows=rows, relu=relu),
+        grid=(b, h // rows),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, _R, g_img, 8 * co),
+        out_specs=pl.BlockSpec((1, rows, g_img, 8 * co),
                                lambda nb, i: (nb, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, g_img, 8 * co), dt),
-        scratch_shapes=[pltpu.VMEM((_R + 2 * pad_h, 4, g_img + 2, 128), dt)],
+        scratch_shapes=[pltpu.VMEM((rows + 2 * pad_h, 4, g_img + 2, 128),
+                                   dt)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xt, xt, xt, w, bp)
     return out
