@@ -5,11 +5,13 @@ The BASELINE.json north star is >=120 fps sustained 720p->1080p 2x per TPU
 v5e chip. Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
 
-Serving config (PERFORMANCE.md): compose_tails on the all-XLA width-2-packed
-pipeline, pure bf16 — the quality-clean configuration (implementation parity
-144-160 dB vs the PyTorch reference at f32 on the exact path; the headline
-adds the bf16 compute effect plus the documented compose-tails 1-pixel
-border-ring deviation). Set TUX_BENCH_CONFIG=int8_residual for the int8 residual-scope
+Serving config (PERFORMANCE.md): compose_tails on the width-2-packed
+pipeline with the Pallas stream kernels (ops/pallas/stream.py: row-streamed
+conv + macro-8 tails), pure bf16 — the quality-clean configuration
+(implementation parity 144-160 dB vs the PyTorch reference at f32 on the
+exact path; the headline adds the bf16 compute effect plus the documented
+compose-tails 1-pixel border-ring deviation). Set
+TUX_BENCH_CONFIG=int8_residual for the int8 residual-scope
 mode: +10% throughput at a measured +0.07 dB GT PSNR delta
 (tools/int8_quality.py); its calibration (one dynamic-quant frame) happens
 at setup like compilation and is excluded from steady-state timing.
@@ -52,7 +54,7 @@ def main():
 
     t0 = time.perf_counter()
     base = get_model("FastTransformer", dtype=jnp.bfloat16,
-                     compose_tails=True, packed_serve=True)
+                     compose_tails=True, pallas_serve=True)
     params = base.init(key, x, res_out=res_out)
 
     if config == "int8_residual":

@@ -192,3 +192,47 @@ def test_multiframe_calibration_and_clip_check(tmp_path):
     rep_hot = eng.calibration_check(
         np.ones((48, 64, 3), np.float32), res_out=(72, 96))
     assert max(v["max_ratio"] for v in rep_hot.values()) > 1.0
+
+
+def test_gptq_reduces_output_error():
+    """GPTQ must beat plain rounding in the ||X(W - Q*s)|| metric it
+    optimizes (same scales, same int8 format)."""
+    from transformerupscaler_tpu.ops.gptq import gptq_quantize
+
+    rng = np.random.default_rng(0)
+    d, co, n = 64, 16, 8000
+    mix = rng.standard_normal((d, d)) * 0.3 + np.eye(d)
+    x = rng.standard_normal((n, d)) @ mix
+    w = rng.standard_normal((d, co)) * 0.1
+    q, s = gptq_quantize(w, x.T @ x)
+    sp = np.abs(w).max(axis=0) / 127.0
+    qp = np.clip(np.round(w / sp), -127, 127)
+    err_gptq = np.linalg.norm(x @ (w - q * s))
+    err_plain = np.linalg.norm(x @ (w - qp * sp))
+    assert err_gptq < err_plain * 0.95, (err_gptq, err_plain)
+    assert q.dtype == np.int8 and s.shape == (co,)
+
+
+def test_gptq_engine_bakes_prequantized_weights(tmp_path):
+    """gptq_int8 bakes int8_weights entries; the model still runs and stays
+    close to the f32 path."""
+    import jax.numpy as jnp
+    from transformerupscaler_tpu.infer_lib import UpscalerEngine
+
+    rng = np.random.default_rng(0)
+    frames = [rng.random((48, 64, 3)).astype(np.float32) for _ in range(2)]
+    eng_f = UpscalerEngine("FastTransformer", checkpoint_dir=str(tmp_path),
+                           dtype=jnp.float32, compose_tails=True,
+                           packed_serve=True)
+    y_ref = eng_f.upscale(frames[0], res_out=(72, 96))
+    eng = UpscalerEngine("FastTransformer", checkpoint_dir=str(tmp_path),
+                         dtype=jnp.float32, compose_tails=True,
+                         int8_serve=True, int8_scope="full",
+                         params=eng_f._params)
+    eng.calibrate_int8(frames, res_out=(72, 96), margin=1.1)
+    eng.gptq_int8(frames, scale=2, n_samples=4000, crop=48)
+    assert eng.model.int8_weights is not None
+    names = {e[0] for e in eng.model.int8_weights}
+    assert names == {"conv1", "conv2", "tailA_s2"}
+    y = eng.upscale(frames[0], res_out=(72, 96))
+    assert np.abs(y - y_ref).mean() < 0.01

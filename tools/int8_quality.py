@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--res_out", type=str, default="1440,2560",
                     help="output geometry H,W (input is 720p)")
     ap.add_argument("--checkpoint_dir", type=str, default=None)
+    ap.add_argument("--gptq", action="store_true",
+                    help="GPTQ + bias-correct the image-branch weights "
+                         "against the calibration frames (ops/gptq.py)")
     ap.add_argument("--image_dir", type=str,
                     default="/root/reference/images/training_set")
     args = ap.parse_args()
@@ -80,6 +83,12 @@ def main():
                              margin=args.margin)
         print(f"calibrated on {n_cal} frames (margin {args.margin})",
               flush=True)
+        if args.gptq:
+            import math
+
+            scale = math.ceil(max(res_out[0] / 720, res_out[1] / 1280))
+            eng_q.gptq_int8(lrs[:n_cal], scale=scale)
+            print(f"GPTQ'd image branch (scale {scale})", flush=True)
         eval_paths = list(zip(paths[n_cal:], lrs[n_cal:]))
     else:
         eval_paths = list(zip(paths, lrs))

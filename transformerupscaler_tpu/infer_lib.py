@@ -239,6 +239,90 @@ class UpscalerEngine:
         self._cache.clear()
         return scales
 
+    def gptq_int8(self, images, scale: int = 2, n_samples: int = 32768,
+                  crop: int = 256) -> None:
+        """GPTQ the image-branch conv weights against calibration frames
+        (full-scope int8 engines; run AFTER calibrate_int8 — the static
+        activation scales are folded into the quantized kernels).
+
+        Computes conv1/conv2 input activations on the CPU from ``crop``-
+        sized center crops of the frames, builds input Hessians, and bakes
+        error-compensated int8 kernels + corrected biases for conv1, conv2,
+        and the composed branch-A tail of ``scale`` into the model
+        (ops/gptq.py). Entries for other scales fall back to trace-time
+        abs-max quantization.
+        """
+        if not getattr(self, "_calib_scales", None) or \
+                "feat1" not in self._calib_scales:
+            raise RuntimeError(
+                "gptq_int8 requires calibrate_int8 on a FULL-scope "
+                "int8_serve engine first (needs feat1/feat scales)")
+        import jax as _jax
+
+        from transformerupscaler_tpu.models.upsampler import (
+            composed_tail_kernel,
+        )
+        from transformerupscaler_tpu.ops.conv import conv2d
+        from transformerupscaler_tpu.ops.gptq import quantize_conv_gptq
+
+        p = self._params["params"]
+        if not isinstance(images, (list, tuple)):
+            images = [images]
+        cpu = _jax.devices("cpu")[0]
+        xs, f1s, fps = [], [], []
+        with _jax.default_device(cpu):
+            k1 = jnp.asarray(np.asarray(p["conv1"]["kernel"]), jnp.float32)
+            b1 = jnp.asarray(np.asarray(p["conv1"]["bias"]), jnp.float32)
+            k2 = jnp.asarray(np.asarray(p["conv2"]["kernel"]), jnp.float32)
+            b2 = jnp.asarray(np.asarray(p["conv2"]["bias"]), jnp.float32)
+            for img in images:
+                x = np.asarray(img)
+                if x.dtype == np.uint8:
+                    x = x.astype(np.float32) / 255.0
+                h, w = x.shape[:2]
+                y0 = max(0, (h - crop) // 2)
+                x0 = max(0, (w - crop) // 2)
+                x = x[y0:y0 + crop, x0:x0 + crop][None]
+                xj = jnp.asarray(x, jnp.float32)
+                f1 = conv2d(xj, k1, b1, relu=True, auto_macro=False)
+                fp = conv2d(f1, k2, b2, relu=True, auto_macro=False)
+                xs.append(x)
+                f1s.append(np.asarray(f1))
+                fps.append(np.asarray(fp))
+        xcat = np.concatenate(xs)
+        f1cat = np.concatenate(f1s)
+        fpcat = np.concatenate(fps)
+
+        s_f1 = self._calib_scales["feat1"]
+        s_f = self._calib_scales["feat"]
+        ka, ba = composed_tail_kernel(
+            {k: jnp.asarray(np.asarray(v), jnp.float32)
+             for k, v in p["up1"].items()},
+            scale,
+            jnp.asarray(np.asarray(p["up1_conv_kernel"]), jnp.float32),
+            None, jnp.float32)
+        ka = np.asarray(ka)
+        ba = np.asarray(ba) if ba is not None else None
+
+        entries = []
+        for name, kern, bias, feat, s_in in (
+                ("conv1", np.asarray(p["conv1"]["kernel"]),
+                 np.asarray(p["conv1"]["bias"]), xcat, 1.0 / 127),
+                ("conv2", np.asarray(p["conv2"]["kernel"]),
+                 np.asarray(p["conv2"]["bias"]), f1cat, s_f1),
+                (f"tailA_s{scale}", ka, ba, fpcat, s_f)):
+            kq, ks, nb = quantize_conv_gptq(kern, feat, s_in,
+                                            n_samples=n_samples, bias=bias)
+            entries.append((name, kq.shape, kq.tobytes(), ks.tobytes(),
+                            None if nb is None else nb.tobytes()))
+
+        self.model = get_model(
+            self.model_name,
+            **{**self._model_kwargs,
+               "int8_scales": self.model.int8_scales,
+               "int8_weights": tuple(entries)})
+        self._cache.clear()
+
     def calibration_check(self, image, res_out=None, upscale_factor=None,
                           require_ratio: bool = True) -> dict:
         """Clip-risk report for a held-out frame against the baked scales.

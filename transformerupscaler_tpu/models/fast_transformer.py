@@ -81,6 +81,12 @@ class FastTransformer(nn.Module):
     # Static activation scales (feat1, feat, combined, dec, tokens);
     # None = dynamic per-tensor abs-max.
     int8_scales: tuple | None = None
+    # Offline GPTQ'd image-branch weights (UpscalerEngine.gptq_int8):
+    # tuple of (name, shape, int8_kernel_bytes, scale_bytes,
+    # bias_bytes-or-None) with names conv1/conv2/tailA_s{scale}. The
+    # activation scales are folded in; entries missing for a geometry fall
+    # back to trace-time abs-max quantization.
+    int8_weights: tuple | None = None
     # Serving-path speedup: fold each Upsampler's last conv with its commuted
     # RGB tail into one 5x5 conv (~2x on those stages; a 1-pixel ring at
     # feature resolution deviates from the exact sequential form).
@@ -279,16 +285,28 @@ class FastTransformer(nn.Module):
                 tail_macro8_stream,
             )
 
+        pq = {}
+        if self.int8_weights is not None:
+            import numpy as _np
+
+            for name, shape, kqb, ksb, bb in self.int8_weights:
+                pq[name] = (_np.frombuffer(kqb, _np.int8).reshape(shape),
+                            _np.frombuffer(ksb, _np.float32),
+                            _np.frombuffer(bb, _np.float32)
+                            if bb is not None else None)
+
         p1 = self.conv1.variables["params"]
         p2 = self.conv2.variables["params"]
         if i8a:
             # Input is [0, 1]: the scale is static by construction.
             xq, _ = quantize_act(xp, 1.0 / 127)
             feat1 = conv2d_packed_int8(xq, p1["kernel"], 1.0 / 127,
-                                       p1["bias"], relu=True, out_dtype=dt)
+                                       p1["bias"], relu=True, out_dtype=dt,
+                                       pre_q=pq.get("conv1"))
             f1q, s1 = act_q("feat1", feat1, 0)
             featp = conv2d_packed_int8(f1q, p2["kernel"], s1, p2["bias"],
-                                       relu=True, out_dtype=dt)
+                                       relu=True, out_dtype=dt,
+                                       pre_q=pq.get("conv2"))
         else:
             feat1 = conv2d_packed_raw(xp, p1["kernel"].astype(dt), p1["bias"],
                                       relu=True)
@@ -323,7 +341,8 @@ class FastTransformer(nn.Module):
         if i8a:
             fq, s2 = act_q("feat", featp, 1)
             a12 = conv2d_tail_packed_int8(fq, ka, s2, ba, relu=True,
-                                          out_dtype=dt, block=blk)
+                                          out_dtype=dt, block=blk,
+                                          pre_q=pq.get(f"tailA_s{scale}"))
         elif pallas_tails:
             a12 = tail_macro8_stream(feat_t, ka, ba, relu=True)
         elif direct_tails:

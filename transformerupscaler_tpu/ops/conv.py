@@ -154,13 +154,18 @@ def conv2d_packed2(x: jnp.ndarray, kernel: jnp.ndarray,
 def conv2d_packed_int8(xq: jnp.ndarray, kernel: jnp.ndarray,
                        x_scale, bias: jnp.ndarray | None = None,
                        relu: bool = False,
-                       out_dtype=jnp.bfloat16) -> jnp.ndarray:
+                       out_dtype=jnp.bfloat16,
+                       pre_q=None) -> jnp.ndarray:
     """conv2d_packed_raw with int8 MXU compute.
 
     xq: (B, H, W/2, 2Cin) int8 (pre-quantized with ``x_scale``); kernel: raw
     float HWIO — per-output-channel int8 weight quant happens at trace time.
     Measured v5e: 0.95 ms vs 1.92 bf16 for the 3x3 64->64 @720p
     (tools/int8_conv_bench.py). Returns packed output in ``out_dtype``.
+
+    ``pre_q``: optional (int8 HWIO kernel, (Co,) scales, bias-or-None) from
+    offline GPTQ (ops/gptq.py) — the activation scale is ALREADY folded into
+    it, so the fold and trace-time quantization are skipped.
     """
     from transformerupscaler_tpu.ops.quant import quantize_conv_kernel
 
@@ -169,12 +174,18 @@ def conv2d_packed_int8(xq: jnp.ndarray, kernel: jnp.ndarray,
     pad = (kw - 1) // 2
     jmin = (0 - pad) // 2
     jmax = (1 + pad) // 2
-    # Fold the (scalar or per-input-channel) activation scale into the
-    # kernel before weight quantization — exact, so per-channel activation
-    # quant costs nothing at run time (ops/quant.quantize_act_ch).
-    keff = (kernel.astype(jnp.float32)
-            * jnp.asarray(x_scale, jnp.float32).reshape(1, 1, -1, 1))
-    kq, ks = quantize_conv_kernel(keff)
+    if pre_q is not None:
+        kq = jnp.asarray(pre_q[0])
+        ks = jnp.asarray(pre_q[1], jnp.float32)
+        if pre_q[2] is not None:
+            bias = jnp.asarray(pre_q[2], jnp.float32)
+    else:
+        # Fold the (scalar or per-input-channel) activation scale into the
+        # kernel before weight quantization — exact, so per-channel
+        # activation quant costs nothing at run time (quantize_act_ch).
+        keff = (kernel.astype(jnp.float32)
+                * jnp.asarray(x_scale, jnp.float32).reshape(1, 1, -1, 1))
+        kq, ks = quantize_conv_kernel(keff)
     kp = pack_kernel_width2(kq)
     dn = lax.conv_dimension_numbers(xq.shape, kp.shape, ("NHWC", "HWIO", "NHWC"))
     acc = lax.conv_general_dilated(
@@ -193,12 +204,13 @@ def conv2d_tail_packed_int8(xq: jnp.ndarray, kernel: jnp.ndarray,
                             x_scale, bias: jnp.ndarray | None = None,
                             relu: bool = False,
                             out_dtype=jnp.bfloat16,
-                            block: int = 8) -> jnp.ndarray:
+                            block: int = 8, pre_q=None) -> jnp.ndarray:
     """conv2d_tail_packed with int8 MXU compute (measured v5e: 0.38/0.29 ms
     vs 1.83/2.07 bf16 for the composed 5x5/7x7 tails @720p).
 
     xq: int8 packed input quantized with ``x_scale``; kernel raw float
     (kh, kw, Cin, co). Returns (B, H, W/block, block*co) in ``out_dtype``.
+    ``pre_q``: offline-GPTQ (kernel, scales, bias) as in conv2d_packed_int8.
     """
     from transformerupscaler_tpu.ops.quant import quantize_conv_kernel
 
@@ -208,9 +220,15 @@ def conv2d_tail_packed_int8(xq: jnp.ndarray, kernel: jnp.ndarray,
     boff = (pad + 1) // 2
     jmax = (block - 1 + pad) // 2
     kwp = jmax + boff + 1
-    keff = (kernel.astype(jnp.float32)
-            * jnp.asarray(x_scale, jnp.float32).reshape(1, 1, -1, 1))
-    kq, ks = quantize_conv_kernel(keff)
+    if pre_q is not None:
+        kq = jnp.asarray(pre_q[0])
+        ks = jnp.asarray(pre_q[1], jnp.float32)
+        if pre_q[2] is not None:
+            bias = jnp.asarray(pre_q[2], jnp.float32)
+    else:
+        keff = (kernel.astype(jnp.float32)
+                * jnp.asarray(x_scale, jnp.float32).reshape(1, 1, -1, 1))
+        kq, ks = quantize_conv_kernel(keff)
     kp = pack_tail_stride4(kq, block)
     pad_r = kwp - boff - block // 2
     dn = lax.conv_dimension_numbers(xq.shape, kp.shape, ("NHWC", "HWIO", "NHWC"))

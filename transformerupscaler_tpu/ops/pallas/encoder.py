@@ -1,5 +1,13 @@
 """Fused encoder / decoder conv kernels (Pallas, row-streamed).
 
+ARCHIVED (round 3): these whole-branch kernels measured a real win but the
+per-tap sublane-split gathers in ``_tail_macro8`` blow up the remote Mosaic
+compiler (741 s / OOM SIGKILL — PERFORMANCE.md). Superseded by
+ops/pallas/stream.py, which keeps the same reduction sets with contiguous
+access patterns and compiles in seconds; the packing helpers below
+(pack_conv3, pack_tail_macro8, _conv3_packed) remain live imports of
+stream.py. See ops/pallas/README.md for the full estate.
+
 These replace the serving path's conv chains — its largest cost: XLA runs
 the 3x3 64->64 convs at ~30 TF/s, the small-output tails at <10% lane
 utilization, and every op boundary rewrites the 118 MB feature map through
