@@ -50,7 +50,7 @@ def main(args):
                           int8_serve=args.int8 != "off",
                           int8_scope=args.int8 if args.int8 != "off" else "full",
                           compose_tails=args.fast or args.int8 != "off",
-                          packed_serve=args.fast)
+                          packed_serve=args.fast, pallas_serve=args.fast)
     print(f"checkpoint loaded: {pipe.from_checkpoint}")
     t = pipe.warmup()
     print(f"compiled in {t:.1f}s")

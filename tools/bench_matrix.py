@@ -42,7 +42,9 @@ from jax import lax
 MODELS = ["BicubicInterpolation", "ResidualTransformer", "WindowTransformer",
           "FastTransformer"]
 SCALES = [2, 3, 4, 6]
-SERVE_KW = dict(compose_tails=True, packed_serve=True)
+# pallas_serve implies the packed pipeline for FastTransformer; models
+# without the field (Bicubic/Window/Residual) ignore unknown overrides.
+SERVE_KW = dict(compose_tails=True, packed_serve=True, pallas_serve=True)
 
 # Below this per-frame time the probe difference is noise-dominated at
 # small K; escalate K, and flag the row as a floor estimate if still under.

@@ -20,6 +20,8 @@ def log(m):
 def main():
     K = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     which = set(sys.argv[2:]) or {"packed", "dyn", "static", "staticb4"}
+    # "staticmlp": static full scope + int8 trunk MLPs (the only bf16 FLOPs
+    # left in the static config are the trunk and the shuffle/resize).
     from transformerupscaler_tpu.registry import get_model
 
     dt = jnp.bfloat16
@@ -60,6 +62,12 @@ def main():
     if "static" in which:
         probe("full int8_serve static",
               lambda pp, v: m_st.apply(pp, v, res_out=res_out),
+              params, x, K, log=log)
+    if "staticmlp" in which:
+        m_sm = get_model("FastTransformer", dtype=dt, compose_tails=True,
+                         int8_serve=True, int8_scales=scales, int8_mlp=True)
+        probe("full int8_serve static + int8_mlp",
+              lambda pp, v: m_sm.apply(pp, v, res_out=res_out),
               params, x, K, log=log)
     if "staticb4" in which:
         xb = jax.random.uniform(key, (4, 720, 1280, 3), dt)

@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--gptq", action="store_true",
                     help="GPTQ + bias-correct the image-branch weights "
                          "against the calibration frames (ops/gptq.py)")
+    ap.add_argument("--no_bias_correct", action="store_true",
+                    help="with --gptq: skip the mean-input bias correction "
+                         "(diagnostic for systematic GT-delta shifts)")
     ap.add_argument("--image_dir", type=str,
                     default="/root/reference/images/training_set")
     args = ap.parse_args()
@@ -87,8 +90,10 @@ def main():
             import math
 
             scale = math.ceil(max(res_out[0] / 720, res_out[1] / 1280))
-            eng_q.gptq_int8(lrs[:n_cal], scale=scale)
-            print(f"GPTQ'd image branch (scale {scale})", flush=True)
+            eng_q.gptq_int8(lrs[:n_cal], scale=scale,
+                            bias_correct=not args.no_bias_correct)
+            print(f"GPTQ'd image branch (scale {scale}, bias_correct="
+                  f"{not args.no_bias_correct})", flush=True)
         eval_paths = list(zip(paths[n_cal:], lrs[n_cal:]))
     else:
         eval_paths = list(zip(paths, lrs))

@@ -179,8 +179,15 @@ class UpscalerEngine:
             kwargs["upscale_factor"] = upscale_factor
         kwargs["require_ratio"] = require_ratio
         self._ensure_params(xj, kwargs)
-        _, inter = self._base_model.apply(self._params, xj, **kwargs,
-                                          mutable=["intermediates"])
+        # Jitted with a per-geometry cache: the unjitted apply dispatches
+        # op-by-op, which is pathological through the tunneled backend
+        # (~25 ms RPC per op).
+        ck = ("dyn_scales", tuple(sorted(kwargs.items())))
+        if ck not in self._cache:
+            self._cache[ck] = jax.jit(
+                lambda pp, v: self._base_model.apply(
+                    pp, v, **kwargs, mutable=["intermediates"]))
+        _, inter = self._cache[ck](self._params, xj)
         raw = inter["intermediates"]
         if not any(k.startswith("int8_scale_") for k in raw):
             raise RuntimeError(
@@ -196,7 +203,8 @@ class UpscalerEngine:
 
     def calibrate_int8(self, images, res_out=None,
                        upscale_factor=None, require_ratio: bool = True,
-                       margin: float = 1.25) -> tuple:
+                       margin: float = 1.25,
+                       floor_frac: float = 0.02) -> tuple:
         """Static int8 activation calibration (int8_serve engines only).
 
         Runs a dynamic-quant forward over each calibration frame (a single
@@ -221,7 +229,14 @@ class UpscalerEngine:
                                            require_ratio)
             for k, v in got.items():
                 acc[k] = np.maximum(acc[k], v) if k in acc else v
-        self._calib_scales = {k: v * margin for k, v in acc.items()}
+        # Dead-channel floor: a channel that never fired on the calibration
+        # frames gets a near-zero scale and then clips catastrophically the
+        # first time a scene activates it (measured: dynamic/static ratios
+        # in the 1e6 range on held-out frames). Floor each channel's scale
+        # at floor_frac of the group's largest channel scale.
+        self._calib_scales = {
+            k: np.maximum(v, floor_frac * v.max()) * margin
+            for k, v in acc.items()}
         self._calib_frames = len(frames)
 
         def grab(n):
@@ -240,7 +255,7 @@ class UpscalerEngine:
         return scales
 
     def gptq_int8(self, images, scale: int = 2, n_samples: int = 32768,
-                  crop: int = 256) -> None:
+                  crop: int = 256, bias_correct: bool = True) -> None:
         """GPTQ the image-branch conv weights against calibration frames
         (full-scope int8 engines; run AFTER calibrate_int8 — the static
         activation scales are folded into the quantized kernels).
@@ -311,8 +326,9 @@ class UpscalerEngine:
                 ("conv2", np.asarray(p["conv2"]["kernel"]),
                  np.asarray(p["conv2"]["bias"]), f1cat, s_f1),
                 (f"tailA_s{scale}", ka, ba, fpcat, s_f)):
-            kq, ks, nb = quantize_conv_gptq(kern, feat, s_in,
-                                            n_samples=n_samples, bias=bias)
+            kq, ks, nb = quantize_conv_gptq(
+                kern, feat, s_in, n_samples=n_samples,
+                bias=bias if bias_correct else None)
             entries.append((name, kq.shape, kq.tobytes(), ks.tobytes(),
                             None if nb is None else nb.tobytes()))
 
