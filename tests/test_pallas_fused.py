@@ -40,6 +40,27 @@ def test_fused_trunk_matches_xla_blocks(rng):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_fused_trunk_v2_matches_xla_blocks(rng):
+    from transformerupscaler_tpu.models.common import WindowBlock
+    from transformerupscaler_tpu.ops.pallas.trunk2 import fused_window_trunk_v2
+
+    key = jax.random.PRNGKey(7)
+    win = jax.random.uniform(key, (10, 64, 192), jnp.float32)
+    blocks = [WindowBlock(192, 8, 12, dropout=0.0, dtype=jnp.float32)
+              for _ in range(2)]
+    params, outs = [], win
+    for i, blk in enumerate(blocks):
+        p = blk.init(jax.random.PRNGKey(i), outs)
+        outs = blk.apply(p, outs)
+        params.append(p["params"])
+
+    # windows_per_cell 4 also covers the nW % wpc != 0 zero-pad path.
+    got = fused_window_trunk_v2(win, params, num_heads=12, window_size=8,
+                                windows_per_cell=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(outs),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_fused_trunk_pads_window_remainder(rng):
     """nW not divisible by windows_per_cell pads with zero windows."""
     from transformerupscaler_tpu.models.common import WindowBlock
@@ -111,21 +132,57 @@ def test_fused_conv_kernels_match_xla(rng):
                                rtol=1e-4, atol=2e-5)
 
 
+def _randomize_biases(params, key):
+    """Init biases are all zeros — overwrite with random values so
+    bias-threading mistakes (tile-vs-repeat orderings in the packed/Pallas
+    kernels) actually fail the comparisons."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, v: (jax.random.normal(
+            jax.random.fold_in(key, hash(str(p)) % (2**31)), v.shape) * 0.1
+            if "bias" in str(p[-1]) else v),
+        params)
+
+
 def test_full_model_fast_path_matches_composed_xla():
-    """pallas_serve (scale-2 fused conv kernels) must equal the compose_tails
-    XLA path bit-for-bit (same composition, different execution)."""
+    """pallas_serve (stream conv/tail/patch kernels) must equal the
+    compose_tails XLA path (same composition, different execution)."""
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(key, (1, 48, 64, 3), jnp.float32)
     m_c = get_model("FastTransformer", dtype=jnp.float32, compose_tails=True)
     m_p = get_model("FastTransformer", dtype=jnp.float32, compose_tails=True,
                     pallas_serve=True)
-    params = m_c.init(key, x, res_out=(72, 96))
-    for kwargs in ({"res_out": (72, 96)},
-                   {"upscale_factor": 2, "require_ratio": False}):
-        y_c = m_c.apply(params, x, **kwargs)
-        y_p = m_p.apply(params, x, **kwargs)
-        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_c),
-                                   rtol=1e-4, atol=2e-5)
+    params = _randomize_biases(m_c.init(key, x, res_out=(72, 96)), key)
+    # crop: scale 4 fully composes BOTH Upsampler stages to base resolution
+    # in the packed/Pallas path while the compose_tails reference composes
+    # per stage — only the documented composed-pad border ring differs.
+    for kwargs, crop in (({"res_out": (72, 96)}, 0),
+                         ({"upscale_factor": 2, "require_ratio": False}, 0),
+                         ({"upscale_factor": 3, "require_ratio": False}, 0),
+                         ({"upscale_factor": 4, "require_ratio": False}, 16)):
+        y_c = np.asarray(m_c.apply(params, x, **kwargs))
+        y_p = np.asarray(m_p.apply(params, x, **kwargs))
+        if crop:
+            y_c = y_c[:, crop:-crop, crop:-crop]
+            y_p = y_p[:, crop:-crop, crop:-crop]
+        np.testing.assert_allclose(y_p, y_c, rtol=1e-4, atol=2e-5)
+
+
+def test_full_model_pallas_int8_composition():
+    """pallas_serve composes with int8_serve: int8 convs/tails + Pallas bf16
+    patch embed/unembed. Must stay close to the all-XLA int8 path (they
+    differ only in embed/unembed quantization, which the Pallas path skips)."""
+    key = jax.random.PRNGKey(3)
+    x = jax.random.uniform(key, (1, 48, 64, 3), jnp.float32)
+    m_i = get_model("FastTransformer", dtype=jnp.float32, compose_tails=True,
+                    int8_serve=True)
+    m_pi = get_model("FastTransformer", dtype=jnp.float32, compose_tails=True,
+                     int8_serve=True, pallas_serve=True)
+    params = _randomize_biases(m_i.init(key, x, upscale_factor=2), key)
+    y_i = m_i.apply(params, x, upscale_factor=2, require_ratio=False)
+    y_pi = m_pi.apply(params, x, upscale_factor=2, require_ratio=False)
+    # int8 quantization of embed/unembed is the only difference; random-init
+    # activations quantize coarsely, so just bound the drift.
+    assert np.abs(np.asarray(y_pi) - np.asarray(y_i)).mean() < 0.02
 
 
 def test_fast_path_falls_back_on_unsupported_scale():

@@ -1,0 +1,91 @@
+"""Row-streamed Pallas serving kernels (ops/pallas/stream.py) vs the XLA
+packed formulations (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from transformerupscaler_tpu.ops.conv import (
+    conv2d_packed_raw,
+    conv2d_tail_packed,
+)
+from transformerupscaler_tpu.ops.patch import (
+    patch_embed_packed,
+    patch_unembed_packed,
+)
+from transformerupscaler_tpu.ops.pallas.stream import (
+    conv3x3_packed_stream,
+    deinterleave4,
+    embed_stream,
+    interleave4,
+    tail_macro8_stream,
+    unembed_combine_stream,
+)
+
+
+def _packed(rng, b=1, h=16, w=64, c=64):
+    x = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    return jnp.asarray(x.reshape(b, h, w // 2, 2 * c))
+
+
+def test_interleave4_roundtrip(rng):
+    xp = _packed(rng)
+    xt = deinterleave4(xp)
+    np.testing.assert_array_equal(np.asarray(interleave4(xt)), np.asarray(xp))
+
+
+def test_conv3x3_stream_matches_packed_raw(rng):
+    xp = _packed(rng)
+    k = jnp.asarray(rng.standard_normal((3, 3, 64, 64)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    want = conv2d_packed_raw(xp, k, b, relu=True)
+    got = conv3x3_packed_stream(xp, k, b, relu=True, rows=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=2e-5)
+
+
+def test_tail_macro8_stream_matches_packed(rng):
+    xp = _packed(rng, h=16, w=64)
+    k = jnp.asarray(rng.standard_normal((5, 5, 64, 12)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(12).astype(np.float32))
+    want = conv2d_tail_packed(xp, k, b, relu=True, block=8)
+    got = tail_macro8_stream(deinterleave4(xp), k, b, relu=True, rows=8,
+                             interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(np.asarray(want).shape), np.asarray(want),
+        rtol=1e-4, atol=2e-5)
+
+
+def test_unembed_combine_stream_matches_xla(rng):
+    ht, wt, d, c, ps = 2, 8, 64, 64, 8
+    tokens = jnp.asarray(rng.standard_normal((1, ht, wt, d)).astype(np.float32))
+    ku = jnp.asarray(rng.standard_normal((d, ps, ps, c)).astype(np.float32) * 0.05)
+    bu = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    featp = _packed(rng, h=ht * ps, w=wt * ps)
+    want = patch_unembed_packed(tokens, ku, bu) + featp
+    got = unembed_combine_stream(tokens, deinterleave4(featp), ku, bu,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(interleave4(got)), np.asarray(want),
+                               rtol=1e-4, atol=2e-5)
+
+
+def test_unembed_combine_stream_relu(rng):
+    ht, wt, d, c, ps = 1, 4, 32, 64, 8
+    tokens = jnp.asarray(rng.standard_normal((1, ht, wt, d)).astype(np.float32))
+    ku = jnp.asarray(rng.standard_normal((d, ps, ps, c)).astype(np.float32) * 0.05)
+    featp = _packed(rng, h=ht * ps, w=wt * ps)
+    want = jnp.maximum(patch_unembed_packed(tokens, ku, None) + featp, 0.0)
+    got = unembed_combine_stream(tokens, deinterleave4(featp), ku, None,
+                                 relu=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(interleave4(got)), np.asarray(want),
+                               rtol=1e-4, atol=2e-5)
+
+
+def test_embed_stream_matches_xla(rng):
+    ht, wt, d, c, ps = 2, 8, 96, 64, 8
+    featp = _packed(rng, h=ht * ps, w=wt * ps)
+    ke = jnp.asarray(rng.standard_normal((ps, ps, c, d)).astype(np.float32) * 0.05)
+    be = jnp.asarray(rng.standard_normal(d).astype(np.float32))
+    want = patch_embed_packed(featp, ke, be)
+    got = embed_stream(deinterleave4(featp), ke, be, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=2e-5)

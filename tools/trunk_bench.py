@@ -1,98 +1,155 @@
 #!/usr/bin/env python
-"""Device probe: XLA per-block trunk vs the fused Pallas trunk megakernel,
-at the FastTransformer 720p serving geometry (240 windows x 64 tokens x 192).
+"""Trunk stage breakdown at the headline geometry (tokens 90x160, d=192,
+6 blocks, 12 heads of 16, window 8). Decomposes the 2.86 ms trunk into
+partition / qkv / attention-core / proj / MLP / norms to find the loss.
 
-Chained full-sum probes (see tools/op_bench.py). Usage: trunk_bench.py [K]
+Usage: python tools/trunk_bench.py [K] [probe names...]
+Probes: full block attn mlp qkv core gemm part
 """
 
 import os
 import sys
-import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
 import jax
 import jax.numpy as jnp
-from jax import lax
 
-
-def timed(fn, *args, n=4):
-    ts = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        _ = np.asarray(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
-
-
-def chained(apply_fn, M):
-    # abs-sum feedback: a plain full sum gets algebraically pushed through
-    # purely-linear ops, fabricating fast numbers (see tools/probe_lib.py).
-    def fn(p, x):
-        def body(i, carry):
-            y = apply_fn(p, carry)
-            s = jnp.sum(jnp.abs(y.astype(jnp.float32)))
-            return carry + (s != s).astype(carry.dtype)
-        return jnp.ravel(lax.fori_loop(0, M, body, x))[0]
-    return jax.jit(fn)
-
-
-def probe(name, apply_fn, params, x, K=8):
-    f1, fK = chained(apply_fn, 1), chained(apply_fn, K)
-    _ = np.asarray(f1(params, x))
-    _ = np.asarray(fK(params, x))
-    t1, tK = timed(f1, params, x), timed(fK, params, x)
-    per = (tK - t1) / (K - 1)
-    print(f"{name:46s} {per * 1e3:8.3f} ms", flush=True)
-    return per
+from tools.probe_lib import probe
 
 
 def main():
-    K = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    from transformerupscaler_tpu.registry import get_model
-    from transformerupscaler_tpu.models.common import run_window_trunk
+    K = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    which = set(sys.argv[2:]) or {"full", "block", "attn", "mlp", "qkv",
+                                  "core", "gemm", "part"}
+    wpc = int(os.environ.get("TUX_TRUNK_WPC", "8"))
+    from transformerupscaler_tpu.models.common import (
+        WindowBlock,
+        run_window_trunk,
+    )
+    from transformerupscaler_tpu.ops.attention import window_attention
+    from transformerupscaler_tpu.ops.relpos import gather_relative_bias
+    from transformerupscaler_tpu.ops.windows import (
+        window_partition,
+        window_reverse,
+    )
 
     dt = jnp.bfloat16
-    res_out = (1080, 1920)
+    d, heads, ws, hd = 192, 12, 8, 16
     key = jax.random.PRNGKey(0)
-    x = jax.random.uniform(key, (1, 720, 1280, 3), dt)
-    tokens = jax.random.uniform(key, (1, 90, 160, 192), dt)
+    tokens = jax.random.uniform(key, (1, 90, 160, d), dt)
+    win = jax.random.uniform(key, (240, ws * ws, d), dt)
     print(f"device: {jax.devices()[0]}", flush=True)
 
-    m_x = get_model("FastTransformer", dtype=dt, compose_tails=True,
-                    attn_impl="xla")
-    m_f = get_model("FastTransformer", dtype=dt, compose_tails=True,
-                    attn_impl="fused")
-    m_p = get_model("FastTransformer", dtype=dt, compose_tails=True,
-                    attn_impl="fused", pallas_serve=True)
-    params = m_x.init(key, x, res_out=res_out)
+    blk = WindowBlock(d, ws, heads, 4.0, 0.0, dtype=dt)
+    bp = blk.init(jax.random.PRNGKey(1), win)
+    blocks6 = [blk] * 6  # same params each block: timing-equivalent
 
-    bx = m_x.bind(params)
-    bf = m_f.bind(params)
+    if "part" in which:
+        probe("window partition+reverse roundtrip",
+              lambda p, t: window_reverse(
+                  window_partition(t, ws).reshape(1, 240, ws * ws, d),
+                  ws, 96, 160)[:, :90],
+              None, jnp.pad(tokens, ((0, 0), (0, 6), (0, 0), (0, 0))),
+              K, log=print)
+    if "full" in which:
+        def full(p, t):
+            out = t
+            for _ in range(6):
+                out = blk.apply(p, window_partition(
+                    jnp.pad(out, ((0, 0), (0, 6), (0, 0), (0, 0))),
+                    ws).reshape(240, ws * ws, d))
+                out = window_reverse(out.reshape(1, 240, ws * ws, d),
+                                     ws, 96, 160)[:, :90]
+            return out
+        probe("6 blocks + per-block partition (upper bd)", full, bp, tokens,
+              K, log=print)
 
-    # numerics on-device first
-    y_x = jax.jit(lambda p, v: m_x.apply(p, v, res_out=res_out))(params, x)
-    y_f = jax.jit(lambda p, v: m_f.apply(p, v, res_out=res_out))(params, x)
-    d = float(jnp.max(jnp.abs(y_x.astype(jnp.float32) -
-                              y_f.astype(jnp.float32))))
-    print(f"full-model fused-vs-xla maxdiff: {d:.6f}", flush=True)
-
-    probe("trunk XLA per-block",
-          lambda pp, v: run_window_trunk(v, bx.blocks, 8), params, tokens, K)
-    probe("trunk FUSED pallas megakernel",
-          lambda pp, v: run_window_trunk(v, bf.blocks, 8), params, tokens, K)
-    probe("full model attn_impl=xla",
-          lambda pp, v: m_x.apply(pp, v, res_out=res_out), params, x, K)
-    probe("full model attn_impl=fused",
-          lambda pp, v: m_f.apply(pp, v, res_out=res_out), params, x, K)
-
-    y_p = jax.jit(lambda p, v: m_p.apply(p, v, res_out=res_out))(params, x)
-    d = float(jnp.max(jnp.abs(y_x.astype(jnp.float32) -
-                              y_p.astype(jnp.float32))))
-    print(f"full-model pallas_serve maxdiff: {d:.6f}", flush=True)
-    probe("full model fused + pallas embed/unembed",
-          lambda pp, v: m_p.apply(pp, v, res_out=res_out), params, x, K)
+        def full2(p, t):
+            w = window_partition(
+                jnp.pad(t, ((0, 0), (0, 6), (0, 0), (0, 0))),
+                ws).reshape(240, ws * ws, d)
+            for _ in range(6):
+                w = blk.apply(p, w)
+            return window_reverse(w.reshape(1, 240, ws * ws, d),
+                                  ws, 96, 160)[:, :90]
+        probe("trunk: partition once + 6 blocks", full2, bp, tokens, K,
+              log=print)
+    if "block" in which:
+        probe("one WindowBlock", lambda p, w: blk.apply(p, w), bp, win, K,
+              log=print)
+    pp = bp["params"]
+    if "attn" in which:
+        probe("attn sublayer (LN+attn+res)",
+              lambda p, w: w + window_attention(
+                  jax.nn.standardize(w, epsilon=1e-5),
+                  p["attn"]["qkv_kernel"].astype(dt),
+                  p["attn"]["qkv_bias"],
+                  p["attn"]["proj_kernel"].astype(dt),
+                  p["attn"]["proj_bias"],
+                  p["attn"]["bias_table"], heads, ws),
+              pp, win, K, log=print)
+    if "mlp" in which:
+        def mlp(p, w):
+            z = jax.nn.standardize(w, epsilon=1e-5)
+            y = jnp.einsum("bnc,cd->bnd", z,
+                           p["mlp_fc1"]["kernel"].astype(dt))
+            y = jax.nn.gelu(y + p["mlp_fc1"]["bias"].astype(dt),
+                            approximate=False)
+            y = jnp.einsum("bnc,cd->bnd", y,
+                           p["mlp_fc2"]["kernel"].astype(dt))
+            return w + y + p["mlp_fc2"]["bias"].astype(dt)
+        probe("mlp sublayer (LN+fc1+gelu+fc2+res)", mlp, pp, win, K,
+              log=print)
+    if "qkv" in which:
+        probe("qkv GEMM only",
+              lambda p, w: jnp.einsum(
+                  "bnc,cd->bnd", w, p["attn"]["qkv_kernel"].astype(dt))
+              + p["attn"]["qkv_bias"].astype(dt),
+              pp, win, K, log=print)
+    if "core" in which:
+        def core(p, qkv):
+            b, n, _ = qkv.shape
+            q3 = qkv.reshape(b, n, 3, heads, hd).transpose(2, 0, 3, 1, 4)
+            q, k, v = q3[0] * (hd ** -0.5), q3[1], q3[2]
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                              preferred_element_type=jnp.float32)
+            bias = gather_relative_bias(
+                p["attn"]["bias_table"].astype(jnp.float32), ws)
+            attn = jax.nn.softmax(attn + bias[None], axis=-1).astype(dt)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+            return out.transpose(0, 2, 1, 3).reshape(b, n, d)
+        qkv0 = jax.random.uniform(key, (240, ws * ws, 3 * d), dt)
+        probe("attention core (split+scores+softmax+out)", core, pp, qkv0,
+              K, log=print)
+    if "v1" in which or "v2" in which:
+        from transformerupscaler_tpu.ops.pallas.trunk import (
+            fused_window_trunk,
+        )
+        from transformerupscaler_tpu.ops.pallas.trunk2 import (
+            fused_window_trunk_v2,
+        )
+        params6 = [bp["params"]] * 6
+        win240 = jax.random.uniform(key, (240, ws * ws, d), dt)
+        if "v1" in which:
+            probe("fused trunk v1 (6 layers, 240 win)",
+                  lambda p, w: fused_window_trunk(w, params6, heads, ws),
+                  None, win240, K, log=print)
+        if "v2" in which:
+            probe(f"fused trunk v2 (6 layers, wpc={wpc})",
+                  lambda p, w: fused_window_trunk_v2(
+                      w, params6, heads, ws, windows_per_cell=wpc),
+                  None, win240, K, log=print)
+    if "gemm" in which:
+        k1 = jax.random.uniform(key, (d, 4 * d), dt) * 0.05
+        k2 = jax.random.uniform(key, (4 * d, d), dt) * 0.05
+        probe("raw MLP GEMM pair + gelu (15360,192)",
+              lambda p, w: jnp.einsum(
+                  "bnc,cd->bnd",
+                  jax.nn.gelu(jnp.einsum("bnc,cd->bnd", w, k1),
+                              approximate=False), k2),
+              None, win, K, log=print)
 
 
 if __name__ == "__main__":

@@ -241,7 +241,6 @@ class FastTransformer(nn.Module):
             patch_unembed_packed,
         )
         from transformerupscaler_tpu.ops.pixel_shuffle import pixel_shuffle
-        from transformerupscaler_tpu.ops.quant import quantize_act
         from transformerupscaler_tpu.models.upsampler import (
             composed_tail_kernel,
         )
@@ -282,7 +281,10 @@ class FastTransformer(nn.Module):
             from transformerupscaler_tpu.ops.pallas.stream import (
                 conv3x3_packed_stream,
                 deinterleave4,
+                embed_stream,
+                interleave4,
                 tail_macro8_stream,
+                unembed_combine_stream,
             )
 
         pq = {}
@@ -298,11 +300,12 @@ class FastTransformer(nn.Module):
         p1 = self.conv1.variables["params"]
         p2 = self.conv2.variables["params"]
         if i8a:
-            # Input is [0, 1]: the scale is static by construction.
-            xq, _ = quantize_act(xp, 1.0 / 127)
-            feat1 = conv2d_packed_int8(xq, p1["kernel"], 1.0 / 127,
-                                       p1["bias"], relu=True, out_dtype=dt,
-                                       pre_q=pq.get("conv1"))
+            # conv1 stays bf16 even in full scope: Cin=3 can't feed the MXU's
+            # int8 lanes, so int8 conv1 measured SLOWER (0.97 ms incl. the
+            # input quantize pass vs 0.51 bf16, tools/int8_stage_bench.py)
+            # AND costs quality. Quantization starts at feat1.
+            feat1 = conv2d_packed_raw(xp, p1["kernel"].astype(dt), p1["bias"],
+                                      relu=True)
             f1q, s1 = act_q("feat1", feat1, 0)
             featp = conv2d_packed_int8(f1q, p2["kernel"], s1, p2["bias"],
                                        relu=True, out_dtype=dt,
@@ -335,8 +338,23 @@ class FastTransformer(nn.Module):
                 patch_embed_packed_int8,
                 patch_unembed_packed_int8,
             )
+        # Pallas patch kernels (embed_stream / unembed_combine_stream) read
+        # the deinterleaved layout and bake the 8x8 patch gather/scatter into
+        # the GEMM's kernel permutation (measured v5e @720p d=192: embed
+        # 1.37 -> 0.64 ms; the unembed's 2.1 ms block transpose vanishes).
+        # They run in bf16 even under int8_serve — the XLA int8 embed/unembed
+        # measured no faster (0.92 vs 0.88 ms incl. the deinterleave) and
+        # skipping the tokens/feat quantization only helps quality.
+        # TUX_PALLAS_PATCH: trace-time kill-switch for probing the Pallas
+        # patch kernels in isolation (same pattern as TUX_CONV_MACRO).
+        import os as _os
+
+        _pp = _os.environ.get("TUX_PALLAS_PATCH", "embed,unembed")
+        pallas_patch = use_pallas and self.patch_size == 8
+        pallas_embed = pallas_patch and "embed" in _pp
+        pallas_unembed = pallas_patch and "unembed" in _pp
         pallas_tails = use_pallas and not direct_tails
-        if pallas_tails and not i8a:
+        if use_pallas:
             feat_t = deinterleave4(featp)
         if i8a:
             fq, s2 = act_q("feat", featp, 1)
@@ -353,7 +371,10 @@ class FastTransformer(nn.Module):
                          auto_macro=False)
         else:
             a12 = conv2d_tail_packed(featp, ka, ba, relu=True, block=blk)
-        if i8b:
+        if pallas_embed:
+            tokens = embed_stream(feat_t, self.patch_embed_kernel,
+                                  self.patch_embed_bias)
+        elif i8b:
             # Embed reuses the tail's int8 feature map + scale when the A
             # branch is quantized too; otherwise quantize feat for the embed.
             if not i8a:
@@ -366,7 +387,11 @@ class FastTransformer(nn.Module):
                                         self.patch_embed_bias)
         tokens = run_window_trunk(tokens, self.blocks, self.window_size,
                                   deterministic=True)
-        if i8b:
+        if pallas_unembed:
+            combined = interleave4(unembed_combine_stream(
+                tokens, feat_t, self.patch_unembed_kernel,
+                self.patch_unembed_bias))
+        elif i8b:
             tq, s5 = act_q("tokens", tokens, 4, packed=False)
             combined = patch_unembed_packed_int8(
                 tq, s5, self.patch_unembed_kernel, self.patch_unembed_bias,

@@ -120,6 +120,138 @@ def deinterleave4(xp: jnp.ndarray) -> jnp.ndarray:
     return xp.reshape(b, h, wp2 // 4, 4, c).transpose(0, 1, 3, 2, 4)
 
 
+def interleave4(xt: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of deinterleave4: (B, H, 4, G, 128) -> (B, H, 4G, 128)."""
+    b, h, _, g, c = xt.shape
+    return xt.transpose(0, 1, 3, 2, 4).reshape(b, h, 4 * g, c)
+
+
+def _unembed_kernel(tok, featd, w, bias, out, *, ps, relu):
+    """One token row -> ps output rows, directly in deinterleave4 layout.
+
+    The 8x8 patch 'scatter' needs NO gather or reshape: with the unembed
+    kernel columns permuted to (dy, px, parity, ch) order, the GEMM result's
+    column block (dy*4+px)*128 IS the deinterleaved output row [dy, px] —
+    every store a contiguous static (wt, 128) slice.
+    """
+    dt = out.dtype
+    g = jnp.dot(tok[0, 0], w[:], preferred_element_type=jnp.float32)
+    bb = bias[0:1, :].astype(jnp.float32)
+    for dy in range(ps):
+        for px in range(4):
+            col = (dy * 4 + px) * 128
+            piece = g[:, col:col + 128] + bb + featd[0, dy, px].astype(
+                jnp.float32)
+            if relu:
+                piece = jnp.maximum(piece, 0.0)
+            out[0, dy, px] = piece.astype(dt)
+
+
+def unembed_combine_stream(tokens: jnp.ndarray, featd: jnp.ndarray,
+                           kernel, bias=None, relu: bool = False,
+                           interpret: bool | None = None) -> jnp.ndarray:
+    """patch_unembed(tokens) + featp fused, emitting deinterleave4 layout.
+
+    tokens: (B, Ht, Wt, D); featd: (B, Ht*ps, 4, Wt, 128) — the
+    deinterleave4 view of the packed feature map (Wt*ps/2 packed cols);
+    kernel: (D, ps, ps, C) unembed weights (C == 64, ps == 8). Returns
+    combined (B, Ht*ps, 4, G, 128) deinterleaved. Same reduction set as
+    patch_unembed_packed + add (exact modulo bf16 reassociation).
+
+    Why: the XLA formulation's 8x8 block transpose measured 2.11 ms in the
+    int8 serving frame (tools/int8_stage_bench.py) for a 15 GF GEMM; here
+    the scatter is free (see _unembed_kernel) and the combine add rides
+    along.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, ht, wt, d = tokens.shape
+    dd, ps, _, c = kernel.shape
+    dt = tokens.dtype
+    # Column order (dy, px, parity, ch): packed col t*4 + px holds pixels
+    # (2*(t*4+px), 2*(t*4+px)+1) = patch cols px' = 8t + 2px (+1), i.e.
+    # within-patch x = 2*px + parity.
+    kperm = (jnp.asarray(kernel).reshape(d, ps, ps // 2, 2, c)
+             .reshape(d, ps * ps * c).astype(dt))
+    bp = jnp.tile(jnp.asarray(bias if bias is not None else
+                              jnp.zeros((c,), dt), dt).reshape(1, c),
+                  (1, 2))
+    out = pl.pallas_call(
+        partial(_unembed_kernel, ps=ps, relu=relu),
+        grid=(b, ht),
+        in_specs=[
+            pl.BlockSpec((1, 1, wt, d), lambda nb, i: (nb, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ps, 4, wt, 128),
+                         lambda nb, i: (nb, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _wspec(kperm), _wspec(bp),
+        ],
+        out_specs=pl.BlockSpec((1, ps, 4, wt, 128),
+                               lambda nb, i: (nb, i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, ht * ps, 4, wt, 128), dt),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(tokens, featd, kperm, bp)
+    return out
+
+
+def _embed_kernel(featd, w, bias, out, *, ps, d):
+    """ps deinterleaved feature rows -> one token row: 4*ps contiguous
+    (wt, 128) x (128, D) MXU matmuls (the transpose-free dual of
+    _unembed_kernel)."""
+    dt = out.dtype
+    wt = out.shape[2]
+    acc = jnp.zeros((wt, d), jnp.float32)
+    for dy in range(ps):
+        for px in range(4):
+            row = (dy * 4 + px) * 128
+            acc = acc + jnp.dot(featd[0, dy, px], w[row:row + 128, :],
+                                preferred_element_type=jnp.float32)
+    out[0, 0] = (acc + bias[0:1, :].astype(jnp.float32)).astype(dt)
+
+
+def embed_stream(featd: jnp.ndarray, kernel, bias=None,
+                 interpret: bool | None = None) -> jnp.ndarray:
+    """patch_embed reading the deinterleave4 layout, no patch transpose.
+
+    featd: (B, Ht*ps, 4, Wt, 128); kernel: (ps, ps, C, D) embed
+    weights. Returns tokens (B, Ht, Wt, D). Same reduction set as
+    patch_embed_packed (exact modulo bf16 reassociation and f32
+    accumulation).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, _, gg, _ = featd.shape
+    ps, _, c, d = kernel.shape
+    ht, wt = h // ps, gg
+    dt = featd.dtype
+    # Row order (dy, px, parity, ch), matching the deinterleaved reads.
+    kperm = (jnp.asarray(kernel).reshape(ps, ps // 2, 2, c, d)
+             .reshape(ps * ps * c, d).astype(dt))
+    bp = jnp.asarray(bias if bias is not None else jnp.zeros((d,), dt),
+                     dt).reshape(1, d)
+    out = pl.pallas_call(
+        partial(_embed_kernel, ps=ps, d=d),
+        grid=(b, ht),
+        in_specs=[
+            pl.BlockSpec((1, ps, 4, gg, 128),
+                         lambda nb, i: (nb, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _wspec(kperm), _wspec(bp),
+        ],
+        out_specs=pl.BlockSpec((1, 1, wt, d), lambda nb, i: (nb, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, ht, wt, d), dt),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(featd, kperm, bp)
+    return out
+
+
 def _tail_kernel(cur, above, below, w, bias, out, slab, *, g_img, pad_h,
                  boff, rows, relu):
     i = pl.program_id(1)
