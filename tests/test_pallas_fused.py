@@ -61,6 +61,20 @@ def test_fused_trunk_v2_matches_xla_blocks(rng):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_model_attn_impl_fused2_matches_xla():
+    """attn_impl='fused2' routes the whole trunk through the v2 megakernel;
+    model output must match the XLA block loop."""
+    key = jax.random.PRNGKey(9)
+    x = jax.random.uniform(key, (1, 32, 32, 3), jnp.float32)
+    m_x = get_model("FastTransformer", dtype=jnp.float32)
+    m_f = get_model("FastTransformer", dtype=jnp.float32, attn_impl="fused2")
+    params = m_x.init(key, x, upscale_factor=2)
+    y_x = m_x.apply(params, x, upscale_factor=2, require_ratio=False)
+    y_f = m_f.apply(params, x, upscale_factor=2, require_ratio=False)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_x),
+                               rtol=2e-4, atol=5e-5)
+
+
 def test_fused_trunk_pads_window_remainder(rng):
     """nW not divisible by windows_per_cell pads with zero windows."""
     from transformerupscaler_tpu.models.common import WindowBlock

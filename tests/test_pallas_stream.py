@@ -43,6 +43,44 @@ def test_conv3x3_stream_matches_packed_raw(rng):
                                rtol=1e-4, atol=2e-5)
 
 
+def test_conv3x3_int8_stream_matches_xla_int8(rng):
+    from transformerupscaler_tpu.ops.conv import conv2d_packed_int8
+    from transformerupscaler_tpu.ops.pallas.stream import (
+        conv3x3_packed_int8_stream,
+    )
+    from transformerupscaler_tpu.ops.quant import quantize_act_ch
+
+    x = jnp.asarray(np.abs(rng.standard_normal((1, 16, 32, 128)))
+                    .astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 64, 64)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    scl = jnp.asarray(np.abs(rng.standard_normal(64)).astype(np.float32)
+                      * 0.01 + 1e-3)
+    q, _ = quantize_act_ch(x, jnp.tile(scl, 2))
+    want = conv2d_packed_int8(q, k, scl, b, relu=True,
+                              out_dtype=jnp.float32)
+    got = conv3x3_packed_int8_stream(q, k, scl, b, relu=True,
+                                     out_dtype=jnp.float32, rows=8,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv2d_packed_dots_matches_raw(rng):
+    from transformerupscaler_tpu.ops.conv import (
+        conv2d_packed_dots,
+        conv2d_packed_raw,
+    )
+
+    x = jnp.asarray(rng.standard_normal((1, 12, 16, 6)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 64)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    want = conv2d_packed_raw(x, k, b, relu=True)
+    got = conv2d_packed_dots(x, k, b, relu=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_tail_macro8_stream_matches_packed(rng):
     xp = _packed(rng, h=16, w=64)
     k = jnp.asarray(rng.standard_normal((5, 5, 64, 12)).astype(np.float32) * 0.1)

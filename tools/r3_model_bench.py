@@ -62,12 +62,18 @@ def main():
 
     if "pallas" in which:
         run("bf16 pallas (stream conv/tail/patch)", pallas_serve=True)
+    if "pallasf2" in which:
+        run("bf16 pallas + fused2 trunk", pallas_serve=True,
+            attn_impl="fused2")
     if "int8" in which:
         run("int8 full static (all-XLA)", int8_serve=True,
             int8_scales=scales)
     if "int8pallas" in which:
         run("int8 full static + pallas patch", int8_serve=True,
             int8_scales=scales, pallas_serve=True)
+    if "int8pallasf2" in which:
+        run("int8 full static + pallas + fused2 trunk", int8_serve=True,
+            int8_scales=scales, pallas_serve=True, attn_impl="fused2")
 
 
 if __name__ == "__main__":

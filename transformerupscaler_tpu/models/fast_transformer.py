@@ -278,7 +278,9 @@ class FastTransformer(nn.Module):
 
         use_pallas = self.pallas_serve
         if use_pallas:
+            from transformerupscaler_tpu.ops.conv import conv2d_packed_dots
             from transformerupscaler_tpu.ops.pallas.stream import (
+                conv3x3_packed_int8_stream,
                 conv3x3_packed_stream,
                 deinterleave4,
                 embed_stream,
@@ -299,26 +301,38 @@ class FastTransformer(nn.Module):
 
         p1 = self.conv1.variables["params"]
         p2 = self.conv2.variables["params"]
-        if i8a:
-            # conv1 stays bf16 even in full scope: Cin=3 can't feed the MXU's
-            # int8 lanes, so int8 conv1 measured SLOWER (0.97 ms incl. the
-            # input quantize pass vs 0.51 bf16, tools/int8_stage_bench.py)
-            # AND costs quality. Quantization starts at feat1.
-            feat1 = conv2d_packed_raw(xp, p1["kernel"].astype(dt), p1["bias"],
-                                      relu=True)
-            f1q, s1 = act_q("feat1", feat1, 0)
-            featp = conv2d_packed_int8(f1q, p2["kernel"], s1, p2["bias"],
-                                       relu=True, out_dtype=dt,
-                                       pre_q=pq.get("conv2"))
+        # conv1 stays bf16 even in full int8 scope: Cin=3 can't feed the
+        # MXU's int8 lanes, so int8 conv1 measured SLOWER (0.97 ms incl. the
+        # input quantize pass vs 0.51 bf16, tools/int8_stage_bench.py) AND
+        # costs quality. Quantization starts at feat1. On the Pallas path
+        # conv1 runs as im2col+dot — faster (0.48 vs 0.80 ms) AND its
+        # default-layout output doesn't poison the downstream Pallas calls
+        # with the conv-emitter's relayout (tools/int8_pallas_iso4.py).
+        if use_pallas:
+            feat1 = conv2d_packed_dots(xp, p1["kernel"].astype(dt),
+                                       p1["bias"], relu=True)
         else:
             feat1 = conv2d_packed_raw(xp, p1["kernel"].astype(dt), p1["bias"],
                                       relu=True)
+        if i8a:
+            f1q, s1 = act_q("feat1", feat1, 0)
             if use_pallas:
-                featp = conv3x3_packed_stream(feat1, p2["kernel"].astype(dt),
-                                              p2["bias"], relu=True)
+                # Pallas int8 conv: the XLA int8 conv is itself faster, but
+                # its output poisons every downstream Pallas call with a
+                # ~12 ms generic relayout (tools/int8_pallas_iso3.py P1/P4).
+                featp = conv3x3_packed_int8_stream(f1q, p2["kernel"], s1,
+                                                   p2["bias"], relu=True,
+                                                   out_dtype=dt)
             else:
-                featp = conv2d_packed_raw(feat1, p2["kernel"].astype(dt),
+                featp = conv2d_packed_int8(f1q, p2["kernel"], s1, p2["bias"],
+                                           relu=True, out_dtype=dt,
+                                           pre_q=pq.get("conv2"))
+        elif use_pallas:
+            featp = conv3x3_packed_stream(feat1, p2["kernel"].astype(dt),
                                           p2["bias"], relu=True)
+        else:
+            featp = conv2d_packed_raw(feat1, p2["kernel"].astype(dt),
+                                      p2["bias"], relu=True)
 
         out_hw = (h * scale, w * scale)
         compare = out_hw if self.fix_ratio_bug else (out_hw[0], out_hw[0])
@@ -403,8 +417,13 @@ class FastTransformer(nn.Module):
         pd1 = self.decoder_conv1.variables["params"]
         if i8b:
             cq, s3 = act_q("combined", combined, 2)
-            dec = conv2d_packed_int8(cq, pd1["kernel"], s3, pd1["bias"],
-                                     relu=True, out_dtype=dt)
+            if use_pallas:
+                dec = conv3x3_packed_int8_stream(cq, pd1["kernel"], s3,
+                                                 pd1["bias"], relu=True,
+                                                 out_dtype=dt)
+            else:
+                dec = conv2d_packed_int8(cq, pd1["kernel"], s3, pd1["bias"],
+                                         relu=True, out_dtype=dt)
         elif use_pallas:
             dec = conv3x3_packed_stream(combined, pd1["kernel"].astype(dt),
                                         pd1["bias"], relu=True)

@@ -103,6 +103,41 @@ def pack_kernel_width2(kernel: jnp.ndarray) -> jnp.ndarray:
     return kp
 
 
+def conv2d_packed_dots(xp: jnp.ndarray, kernel: jnp.ndarray,
+                       bias: jnp.ndarray | None = None,
+                       relu: bool = False) -> jnp.ndarray:
+    """conv2d_packed_raw as im2col + ONE dot (same reduction set, exact).
+
+    Built for SMALL Cin (conv1: 3 raw channels -> K = kh*kwp*6): the
+    shifted-slice im2col materializes (B, H, W/2, K) once, then a single
+    (M, K) x (K, 2Cout) GEMM. Measured v5e @720p conv1: 0.48 ms vs 0.80
+    conv-emitter — and, critically, the dot's output layout is DEFAULT, so
+    downstream Pallas kernels don't pay the conv-emitter's 2.6-12 ms
+    relayout at the custom-call boundary (tools/int8_pallas_iso4.py). Do
+    NOT use for Cin=64 convs: the 9x input duplication is ~1 GB of HBM
+    traffic there.
+    """
+    b, h, wp2, _ = xp.shape
+    kh, kw, cin, cout = kernel.shape
+    pad_h = (kh - 1) // 2
+    pad = (kw - 1) // 2
+    jmin, jmax = (0 - pad) // 2, (1 + pad) // 2
+    kp = pack_kernel_width2(kernel).astype(xp.dtype)
+    khp, kwp, c2i, c2o = kp.shape
+    xpad = jnp.pad(xp, ((0, 0), (pad_h, pad_h), (-jmin, jmax), (0, 0)))
+    cols = [xpad[:, dy:dy + h, j:j + wp2, :]
+            for dy in range(khp) for j in range(kwp)]
+    im = jnp.concatenate(cols, axis=-1)
+    out = jnp.einsum("bhwk,ko->bhwo", im,
+                     kp.reshape(khp * kwp * c2i, c2o),
+                     preferred_element_type=jnp.float32).astype(xp.dtype)
+    if bias is not None:
+        out = out + jnp.tile(bias.astype(xp.dtype), 2)
+    if relu:
+        out = jax.nn.relu(out)
+    return out
+
+
 def conv2d_packed_raw(xp: jnp.ndarray, kernel: jnp.ndarray,
                       bias: jnp.ndarray | None = None,
                       relu: bool = False) -> jnp.ndarray:

@@ -112,6 +112,86 @@ def conv3x3_packed_stream(xp: jnp.ndarray, kernel, bias,
     return out
 
 
+def _conv_int8_kernel(cur, above, below, w, scale, bias, out, slab, *,
+                      wp2, rows, relu):
+    i = pl.program_id(1)
+    n = pl.num_programs(1)
+    dt = out.dtype
+
+    slab[:] = jnp.zeros_like(slab)
+    slab[1:1 + rows, 1:1 + wp2, :] = cur[0]
+
+    @pl.when(i > 0)
+    def _():
+        slab[0:1, 1:1 + wp2, :] = above[0, 3:4]
+
+    @pl.when(i < n - 1)
+    def _():
+        slab[1 + rows:2 + rows, 1:1 + wp2, :] = below[0, 0:1]
+
+    acc = jnp.zeros((rows * wp2, 128), jnp.int32)
+    for dy in range(3):
+        for xp in range(3):
+            x = slab[dy:dy + rows, xp:xp + wp2, :]
+            acc = acc + jnp.dot(x.reshape(rows * wp2, 128), w[dy, xp],
+                                preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * scale[0:1, :] + bias[0:1, :]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    out[0] = y.reshape(rows, wp2, 128).astype(dt)
+
+
+def conv3x3_packed_int8_stream(xq: jnp.ndarray, kernel, x_scale,
+                               bias=None, relu: bool = False,
+                               out_dtype=jnp.bfloat16, rows: int = 16,
+                               interpret: bool | None = None) -> jnp.ndarray:
+    """conv3x3_packed_stream with int8 MXU compute (int8 x int8 -> int32).
+
+    xq: (B, H, W/2, 128) int8, pre-quantized per RAW channel with
+    ``x_scale`` (64,); kernel: raw float HWIO (3, 3, 64, 64). The
+    activation scale folds into the kernel before per-output-channel weight
+    quantization — the same reduction set as ops/conv.conv2d_packed_int8
+    (exact modulo f32 epilogue reassociation).
+
+    Why this exists: the XLA int8 conv is fast (0.34 ms vs 1.10 Pallas bf16
+    @720p) but its conv-emitter output layout poisons every downstream
+    Pallas call with a 12 ms generic relayout (tools/int8_pallas_iso3.py
+    P1/P4) — an int8 producer with default-layout output unblocks the
+    int8 + Pallas-patch serving composition.
+    """
+    from transformerupscaler_tpu.ops.quant import quantize_conv_kernel
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, wp2, _ = xq.shape
+    if h % rows:
+        rows = 8
+    keff = (jnp.asarray(kernel, jnp.float32)
+            * jnp.asarray(x_scale, jnp.float32).reshape(1, 1, -1, 1))
+    kq, ks = quantize_conv_kernel(keff)
+    # pack_conv3's zero slots and +-127 integer entries are exact in f32,
+    # so the int8 round-trip through the packer is lossless.
+    w = pack_conv3(kq).astype(jnp.int8)
+    sc = jnp.tile(ks, 2).reshape(1, 128).astype(jnp.float32)
+    bb = (jnp.tile(jnp.asarray(bias, jnp.float32), 2) if bias is not None
+          else jnp.zeros((128,), jnp.float32)).reshape(1, 128)
+    out = pl.pallas_call(
+        partial(_conv_int8_kernel, wp2=wp2, rows=rows, relu=relu),
+        grid=(b, h // rows),
+        in_specs=_halo_specs_r(b, h, wp2, rows) + [_wspec(w), _wspec(sc),
+                                                   _wspec(bb)],
+        out_specs=pl.BlockSpec((1, rows, wp2, 128),
+                               lambda nb, i: (nb, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, wp2, 128), out_dtype),
+        scratch_shapes=[pltpu.VMEM((rows + 2, wp2 + 2, 128), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xq, xq, xq, w, sc, bb)
+    return out
+
+
 def deinterleave4(xp: jnp.ndarray) -> jnp.ndarray:
     """(B, H, WP2, 128) packed -> (B, H, 4, WP2/4, 128): packed col 4g + j
     at [:, :, j, g, :] (one XLA transpose; makes every tail tap contiguous).
