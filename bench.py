@@ -6,15 +6,17 @@ v5e chip. Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
 
 Serving config (PERFORMANCE.md): compose_tails on the width-2-packed
-pipeline with the Pallas stream kernels (ops/pallas/stream.py: row-streamed
-conv + macro-8 tails), pure bf16 — the quality-clean configuration
-(implementation parity 144-160 dB vs the PyTorch reference at f32 on the
-exact path; the headline adds the bf16 compute effect plus the documented
-compose-tails 1-pixel border-ring deviation). Set
-TUX_BENCH_CONFIG=int8_residual for the int8 residual-scope
-mode: +10% throughput at a measured +0.07 dB GT PSNR delta
-(tools/int8_quality.py); its calibration (one dynamic-quant frame) happens
-at setup like compilation and is excluded from steady-state timing.
+pipeline with the Pallas stream kernels (ops/pallas/stream.py: dots conv1,
+row-streamed conv, macro-8 tails, patch embed/unembed GEMM kernels) and
+the fused2 trunk megakernel (ops/pallas/trunk2.py), pure bf16 — the
+quality-clean configuration (implementation parity 144-160 dB vs the
+PyTorch reference at f32 on the exact path; the headline adds the bf16
+compute effect plus the documented compose-tails 1-pixel border-ring
+deviation). Set TUX_BENCH_CONFIG=int8_residual for the int8
+residual-scope mode (+0.07 dB GT PSNR delta, tools/int8_quality.py) or
+int8_full (full-scope static int8, mean GT delta -0.02 dB); calibration
+(dynamic-quant frames) happens at setup like compilation and is excluded
+from steady-state timing.
 
 Measurement method: this environment reaches the TPU through a tunneled PJRT
 backend whose block_until_ready resolves optimistically, and whose RPC round
@@ -54,13 +56,15 @@ def main():
 
     t0 = time.perf_counter()
     base = get_model("FastTransformer", dtype=jnp.bfloat16,
-                     compose_tails=True, pallas_serve=True)
+                     compose_tails=True, pallas_serve=True,
+                     attn_impl="fused2")
     params = base.init(key, x, res_out=res_out)
 
-    if config == "int8_residual":
+    if config in ("int8_residual", "int8_full"):
+        scope = config.split("_", 1)[1]
         m_dyn = get_model("FastTransformer", dtype=jnp.bfloat16,
                           compose_tails=True, int8_serve=True,
-                          int8_scope="residual")
+                          int8_scope=scope)
         _, inter = jax.jit(
             lambda pp, v: m_dyn.apply(pp, v, res_out=res_out,
                                       mutable=["intermediates"]))(params, x)
@@ -76,7 +80,7 @@ def main():
                        for n in ("feat1", "feat", "combined", "dec", "tokens"))
         model = get_model("FastTransformer", dtype=jnp.bfloat16,
                           compose_tails=True, int8_serve=True,
-                          int8_scope="residual", int8_scales=scales)
+                          int8_scope=scope, int8_scales=scales)
     else:
         model = base
 

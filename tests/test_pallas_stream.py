@@ -79,6 +79,11 @@ def test_conv2d_packed_dots_matches_raw(rng):
     got = conv2d_packed_dots(x, k, b, relu=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+    from transformerupscaler_tpu.ops.pallas.stream import interleave4
+
+    got_d = conv2d_packed_dots(x, k, b, relu=True, deint_out=True)
+    np.testing.assert_allclose(np.asarray(interleave4(got_d)),
+                               np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
 def test_tail_macro8_stream_matches_packed(rng):
@@ -91,6 +96,64 @@ def test_tail_macro8_stream_matches_packed(rng):
     np.testing.assert_allclose(
         np.asarray(got).reshape(np.asarray(want).shape), np.asarray(want),
         rtol=1e-4, atol=2e-5)
+
+
+def test_conv3x3_deint_stream_matches_packed_raw(rng):
+    from transformerupscaler_tpu.ops.pallas.stream import (
+        conv3x3_deint_stream,
+        interleave4,
+    )
+
+    xp = _packed(rng)
+    k = jnp.asarray(rng.standard_normal((3, 3, 64, 64)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    want = conv2d_packed_raw(xp, k, b, relu=True)
+    got = conv3x3_deint_stream(deinterleave4(xp), k, b, relu=True, rows=8,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(interleave4(got)), np.asarray(want),
+                               rtol=1e-4, atol=2e-5)
+
+
+def test_conv3x3_tail_stream_matches_unfused(rng):
+    from transformerupscaler_tpu.ops.pallas.stream import conv3x3_tail_stream
+
+    xp = _packed(rng, h=16, w=64)
+    kc = jnp.asarray(rng.standard_normal((3, 3, 64, 64)).astype(np.float32) * 0.1)
+    bc = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    for kh, tail_relu in ((7, False), (5, True), (3, False)):
+        kt = jnp.asarray(rng.standard_normal((kh, kh, 64, 12))
+                         .astype(np.float32) * 0.1)
+        bt = jnp.asarray(rng.standard_normal(12).astype(np.float32))
+        dec = conv2d_packed_raw(xp, kc, bc, relu=True)
+        want = conv2d_tail_packed(dec, kt, bt, relu=tail_relu, block=8)
+        got = conv3x3_tail_stream(deinterleave4(xp), kc, bc, kt, bt,
+                                  tail_relu=tail_relu, rows=8,
+                                  interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got).reshape(np.asarray(want).shape),
+            np.asarray(want), rtol=1e-4, atol=2e-5)
+
+
+def test_conv3x3_tail_emit_stream_matches_unfused(rng):
+    from transformerupscaler_tpu.ops.pallas.stream import (
+        conv3x3_tail_emit_stream,
+        interleave4,
+    )
+
+    xp = _packed(rng, h=16, w=64)
+    kc = jnp.asarray(rng.standard_normal((3, 3, 64, 64)).astype(np.float32) * 0.1)
+    bc = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    kt = jnp.asarray(rng.standard_normal((5, 5, 64, 12)).astype(np.float32) * 0.1)
+    bt = jnp.asarray(rng.standard_normal(12).astype(np.float32))
+    feat = conv2d_packed_raw(xp, kc, bc, relu=True)
+    want = conv2d_tail_packed(feat, kt, bt, relu=True, block=8)
+    got, featd = conv3x3_tail_emit_stream(deinterleave4(xp), kc, bc, kt, bt,
+                                          rows=8, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(np.asarray(want).shape),
+        np.asarray(want), rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(interleave4(featd)),
+                               np.asarray(feat), rtol=1e-4, atol=2e-5)
 
 
 def test_unembed_combine_stream_matches_xla(rng):

@@ -123,7 +123,7 @@ def main():
         qkv0 = jax.random.uniform(key, (240, ws * ws, 3 * d), dt)
         probe("attention core (split+scores+softmax+out)", core, pp, qkv0,
               K, log=print)
-    if "v1" in which or "v2" in which:
+    if which & {"v1", "v2", "v2sweep"}:
         from transformerupscaler_tpu.ops.pallas.trunk import (
             fused_window_trunk,
         )
@@ -141,6 +141,12 @@ def main():
                   lambda p, w: fused_window_trunk_v2(
                       w, params6, heads, ws, windows_per_cell=wpc),
                   None, win240, K, log=print)
+        if "v2sweep" in which:
+            for wp in (4, 6, 10, 12, 16, 24):
+                probe(f"fused trunk v2 wpc={wp}",
+                      lambda p, w, wp=wp: fused_window_trunk_v2(
+                          w, params6, heads, ws, windows_per_cell=wp),
+                      None, win240, K, log=print)
     if "gemm" in which:
         k1 = jax.random.uniform(key, (d, 4 * d), dt) * 0.05
         k2 = jax.random.uniform(key, (4 * d, d), dt) * 0.05

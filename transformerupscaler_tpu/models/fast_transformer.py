@@ -48,15 +48,15 @@ class FastTransformer(nn.Module):
     attn_impl: str = "xla"
     int8_mlp: bool = False
     fix_ratio_bug: bool = False
-    # Pallas stream kernels on the packed serving path: conv2/decoder_conv1
-    # via conv3x3_packed_stream, the composed tails via tail_macro8_stream
-    # (ops/pallas/stream.py; measured v5e @720p: conv 1.22 vs 1.87 ms XLA,
-    # tails 1.34/1.90 vs 1.85/2.39). Implies the packed pipeline; exact vs
-    # it modulo bf16 reassociation; inference-only (no VJPs). int8 stages
-    # keep the XLA int8 convs (faster still). Round 2's fused whole-branch
-    # kernels (ops/pallas/encoder.py) are retired: they measured the same
-    # math but blew up the remote Mosaic compiler (741 s/OOM,
-    # PERFORMANCE.md).
+    # Pallas stream kernels on the packed serving path (ops/pallas/stream.py
+    # + ops/pallas/README.md): conv1 as im2col+dot (layout-clean producer),
+    # fused encoder conv2+tailA and decoder conv+tailB kernels riding the
+    # deinterleaved layout end-to-end, patch embed/unembed as
+    # permuted-kernel GEMM kernels. Exact vs the packed XLA path modulo
+    # bf16 reassociation; inference-only (no VJPs). Composes with
+    # int8_serve (int8 convs then run conv3x3_packed_int8_stream — the XLA
+    # int8 conv's output layout poisons Pallas consumers, PERFORMANCE.md
+    # "crossing rule").
     pallas_serve: bool = False
     # All-XLA packed serving path: the whole pipeline rides the width-2
     # pixel-packed layout (H, W/2, 2C) — every conv fills all 128 MXU lanes,
@@ -308,32 +308,6 @@ class FastTransformer(nn.Module):
         # conv1 runs as im2col+dot — faster (0.48 vs 0.80 ms) AND its
         # default-layout output doesn't poison the downstream Pallas calls
         # with the conv-emitter's relayout (tools/int8_pallas_iso4.py).
-        if use_pallas:
-            feat1 = conv2d_packed_dots(xp, p1["kernel"].astype(dt),
-                                       p1["bias"], relu=True)
-        else:
-            feat1 = conv2d_packed_raw(xp, p1["kernel"].astype(dt), p1["bias"],
-                                      relu=True)
-        if i8a:
-            f1q, s1 = act_q("feat1", feat1, 0)
-            if use_pallas:
-                # Pallas int8 conv: the XLA int8 conv is itself faster, but
-                # its output poisons every downstream Pallas call with a
-                # ~12 ms generic relayout (tools/int8_pallas_iso3.py P1/P4).
-                featp = conv3x3_packed_int8_stream(f1q, p2["kernel"], s1,
-                                                   p2["bias"], relu=True,
-                                                   out_dtype=dt)
-            else:
-                featp = conv2d_packed_int8(f1q, p2["kernel"], s1, p2["bias"],
-                                           relu=True, out_dtype=dt,
-                                           pre_q=pq.get("conv2"))
-        elif use_pallas:
-            featp = conv3x3_packed_stream(feat1, p2["kernel"].astype(dt),
-                                          p2["bias"], relu=True)
-        else:
-            featp = conv2d_packed_raw(feat1, p2["kernel"].astype(dt),
-                                      p2["bias"], relu=True)
-
         out_hw = (h * scale, w * scale)
         compare = out_hw if self.fix_ratio_bug else (out_hw[0], out_hw[0])
         squash = require_ratio and tuple(res_out) != compare
@@ -368,13 +342,86 @@ class FastTransformer(nn.Module):
         pallas_embed = pallas_patch and "embed" in _pp
         pallas_unembed = pallas_patch and "unembed" in _pp
         pallas_tails = use_pallas and not direct_tails
+        # Fused encoder (conv3x3_tail_emit_stream): conv2 + branch-A tail in
+        # one kernel, emitting feat_t (deinterleaved) for the patch stages —
+        # the 118 MB featp HBM round trip and its deinterleave disappear.
+        # Opt-in (TUX_FUSE_STREAM=1): at rows=24 the fused kernels measured
+        # SLOWER in-model (10.24 vs 9.70 ms) — Mosaic schedules the
+        # 90-dot fused cells worse than the pipelined separate kernels.
+        _fuse = _os.environ.get("TUX_FUSE_STREAM", "0") == "1"
+        fuse_enc = _fuse and use_pallas and not i8a and not direct_tails
+        enc_deint = use_pallas and not i8a and not direct_tails and not fuse_enc
+        # TUX_CONV1_DEINT=1: conv1 emits the deinterleave4 layout directly
+        # (four strided-column GEMMs). Measured SLOWER than one GEMM + the
+        # explicit transpose (9.29 vs 8.85 ms in-model) — the strided im2col
+        # reads defeat XLA's GEMM input fusion. Kept for probing.
+        c1_deint = enc_deint and _os.environ.get("TUX_CONV1_DEINT",
+                                                 "0") == "1"
         if use_pallas:
+            feat1 = conv2d_packed_dots(xp, p1["kernel"].astype(dt),
+                                       p1["bias"], relu=True,
+                                       deint_out=c1_deint)
+        else:
+            feat1 = conv2d_packed_raw(xp, p1["kernel"].astype(dt), p1["bias"],
+                                      relu=True)
+        featp = None
+        if i8a:
+            f1q, s1 = act_q("feat1", feat1, 0)
+            if use_pallas:
+                # Pallas int8 conv: the XLA int8 conv is itself faster, but
+                # its output poisons every downstream Pallas call with a
+                # ~12 ms generic relayout (tools/int8_pallas_iso3.py P1/P4).
+                featp = conv3x3_packed_int8_stream(f1q, p2["kernel"], s1,
+                                                   p2["bias"], relu=True,
+                                                   out_dtype=dt)
+            else:
+                featp = conv2d_packed_int8(f1q, p2["kernel"], s1, p2["bias"],
+                                           relu=True, out_dtype=dt,
+                                           pre_q=pq.get("conv2"))
+        elif fuse_enc:
+            from transformerupscaler_tpu.ops.pallas.stream import (
+                conv3x3_tail_emit_stream,
+            )
+
+            a12, feat_t = conv3x3_tail_emit_stream(
+                deinterleave4(feat1), p2["kernel"].astype(dt), p2["bias"],
+                ka, ba)
+        elif enc_deint:
+            # Deint-native conv2: the whole Pallas pipeline downstream
+            # (tails, patch kernels, decoder) reads the deinterleave4
+            # layout, so convolving in it directly removes the featp
+            # transpose entirely.
+            from transformerupscaler_tpu.ops.pallas.stream import (
+                conv3x3_deint_stream,
+            )
+
+            f1d = feat1 if c1_deint else deinterleave4(feat1)
+            feat_t = conv3x3_deint_stream(f1d, p2["kernel"].astype(dt),
+                                          p2["bias"], relu=True)
+        elif use_pallas:
+            featp = conv3x3_packed_stream(feat1, p2["kernel"].astype(dt),
+                                          p2["bias"], relu=True)
+        else:
+            featp = conv2d_packed_raw(feat1, p2["kernel"].astype(dt),
+                                      p2["bias"], relu=True)
+
+        def featp_packed():
+            # Packed featp for the XLA fallback stages when the fused
+            # encoder produced only the deinterleaved form.
+            nonlocal featp
+            if featp is None:
+                featp = interleave4(feat_t)
+            return featp
+
+        if use_pallas and featp is not None:
             feat_t = deinterleave4(featp)
         if i8a:
             fq, s2 = act_q("feat", featp, 1)
             a12 = conv2d_tail_packed_int8(fq, ka, s2, ba, relu=True,
                                           out_dtype=dt, block=blk,
                                           pre_q=pq.get(f"tailA_s{scale}"))
+        elif fuse_enc:
+            pass  # a12 came out of the fused encoder
         elif pallas_tails:
             a12 = tail_macro8_stream(feat_t, ka, ba, relu=True)
         elif direct_tails:
@@ -392,65 +439,98 @@ class FastTransformer(nn.Module):
             # Embed reuses the tail's int8 feature map + scale when the A
             # branch is quantized too; otherwise quantize feat for the embed.
             if not i8a:
-                fq, s2 = act_q("feat", featp, 1)
+                fq, s2 = act_q("feat", featp_packed(), 1)
             tokens = patch_embed_packed_int8(fq, s2, self.patch_embed_kernel,
                                              self.patch_embed_bias,
                                              out_dtype=dt)
         else:
-            tokens = patch_embed_packed(featp, self.patch_embed_kernel,
+            tokens = patch_embed_packed(featp_packed(),
+                                        self.patch_embed_kernel,
                                         self.patch_embed_bias)
         tokens = run_window_trunk(tokens, self.blocks, self.window_size,
                                   deterministic=True)
+        # Fused decoder (conv3x3_tail_stream) consumes the unembed output in
+        # its native deinterleaved layout — the interleave4, the 118 MB dec
+        # HBM round trip, and the tail's deinterleave all disappear.
+        fuse_dec = _fuse and use_pallas and not i8b and not direct_tails
+        dec_deint = use_pallas and not i8b and not direct_tails
+        combined_d = None
         if pallas_unembed:
-            combined = interleave4(unembed_combine_stream(
+            combined_d = unembed_combine_stream(
                 tokens, feat_t, self.patch_unembed_kernel,
-                self.patch_unembed_bias))
+                self.patch_unembed_bias)
+            combined = (None if fuse_dec or dec_deint
+                        else interleave4(combined_d))
         elif i8b:
             tq, s5 = act_q("tokens", tokens, 4, packed=False)
             combined = patch_unembed_packed_int8(
                 tq, s5, self.patch_unembed_kernel, self.patch_unembed_bias,
-                out_dtype=dt) + featp
+                out_dtype=dt) + featp_packed()
         else:
             combined = patch_unembed_packed(tokens, self.patch_unembed_kernel,
-                                            self.patch_unembed_bias) + featp
-
-        pd1 = self.decoder_conv1.variables["params"]
-        if i8b:
-            cq, s3 = act_q("combined", combined, 2)
-            if use_pallas:
-                dec = conv3x3_packed_int8_stream(cq, pd1["kernel"], s3,
-                                                 pd1["bias"], relu=True,
-                                                 out_dtype=dt)
-            else:
-                dec = conv2d_packed_int8(cq, pd1["kernel"], s3, pd1["bias"],
-                                         relu=True, out_dtype=dt)
-        elif use_pallas:
-            dec = conv3x3_packed_stream(combined, pd1["kernel"].astype(dt),
-                                        pd1["bias"], relu=True)
-        else:
-            dec = conv2d_packed_raw(combined, pd1["kernel"].astype(dt),
-                                    pd1["bias"], relu=True)
+                                            self.patch_unembed_bias
+                                            ) + featp_packed()
 
         # Decoder tail: dec2 o (final_upscale chain o commuted tail) — e.g.
         # 7x7 64->12 at scale 2, 7x7 64->48 at scale 4 (all at base res).
+        pd1 = self.decoder_conv1.variables["params"]
         pd2 = self.decoder_conv2.variables["params"]
         kc, bc = composed_tail_kernel(
             self.final_upscale._params, scale,
             self.final_upscale_conv_kernel, self.final_upscale_conv_bias,
             dt, pre_kernel=pd2["kernel"], pre_bias=pd2["bias"])
-        if i8b:
-            dq, s4 = act_q("dec", dec, 3)
-            b12 = conv2d_tail_packed_int8(dq, kc, s4, bc, out_dtype=dt,
-                                          block=blk)
-        elif pallas_tails:
-            b12 = tail_macro8_stream(deinterleave4(dec), kc, bc)
-        elif direct_tails:
-            from transformerupscaler_tpu.ops.conv import conv2d
+        if fuse_dec:
+            from transformerupscaler_tpu.ops.pallas.stream import (
+                conv3x3_tail_stream,
+            )
 
-            b12 = conv2d(dec.reshape(b, h, w, -1), kc, bc,
-                         padding=(kc.shape[0] - 1) // 2, auto_macro=False)
+            if combined_d is None:  # TUX_PALLAS_PATCH probing fallback
+                combined_d = deinterleave4(combined)
+            b12 = conv3x3_tail_stream(combined_d, pd1["kernel"].astype(dt),
+                                      pd1["bias"], kc, bc)
+        elif use_pallas and not i8b and not direct_tails:
+            # Deint-native decoder: conv + tail ride the deinterleaved
+            # layout straight off the unembed output — no interleave4, no
+            # dec-side deinterleave.
+            from transformerupscaler_tpu.ops.pallas.stream import (
+                conv3x3_deint_stream,
+            )
+
+            if combined_d is None:  # TUX_PALLAS_PATCH probing fallback
+                combined_d = deinterleave4(combined)
+            dec_d = conv3x3_deint_stream(combined_d,
+                                         pd1["kernel"].astype(dt),
+                                         pd1["bias"], relu=True)
+            b12 = tail_macro8_stream(dec_d, kc, bc)
         else:
-            b12 = conv2d_tail_packed(dec, kc, bc, block=blk)
+            if i8b:
+                cq, s3 = act_q("combined", combined, 2)
+                if use_pallas:
+                    dec = conv3x3_packed_int8_stream(cq, pd1["kernel"], s3,
+                                                     pd1["bias"], relu=True,
+                                                     out_dtype=dt)
+                else:
+                    dec = conv2d_packed_int8(cq, pd1["kernel"], s3,
+                                             pd1["bias"], relu=True,
+                                             out_dtype=dt)
+            elif use_pallas:
+                dec = conv3x3_packed_stream(combined,
+                                            pd1["kernel"].astype(dt),
+                                            pd1["bias"], relu=True)
+            else:
+                dec = conv2d_packed_raw(combined, pd1["kernel"].astype(dt),
+                                        pd1["bias"], relu=True)
+            if i8b:
+                dq, s4 = act_q("dec", dec, 3)
+                b12 = conv2d_tail_packed_int8(dq, kc, s4, bc, out_dtype=dt,
+                                              block=blk)
+            elif direct_tails:
+                from transformerupscaler_tpu.ops.conv import conv2d
+
+                b12 = conv2d(dec.reshape(b, h, w, -1), kc, bc,
+                             padding=(kc.shape[0] - 1) // 2, auto_macro=False)
+            else:
+                b12 = conv2d_tail_packed(dec, kc, bc, block=blk)
 
         # Branch layouts may differ (macro-8 vs macro-blk vs NHWC) when the
         # branches route differently; all are free reshapes of NHWC.

@@ -105,7 +105,8 @@ def pack_kernel_width2(kernel: jnp.ndarray) -> jnp.ndarray:
 
 def conv2d_packed_dots(xp: jnp.ndarray, kernel: jnp.ndarray,
                        bias: jnp.ndarray | None = None,
-                       relu: bool = False) -> jnp.ndarray:
+                       relu: bool = False,
+                       deint_out: bool = False) -> jnp.ndarray:
     """conv2d_packed_raw as im2col + ONE dot (same reduction set, exact).
 
     Built for SMALL Cin (conv1: 3 raw channels -> K = kh*kwp*6): the
@@ -128,9 +129,19 @@ def conv2d_packed_dots(xp: jnp.ndarray, kernel: jnp.ndarray,
     cols = [xpad[:, dy:dy + h, j:j + wp2, :]
             for dy in range(khp) for j in range(kwp)]
     im = jnp.concatenate(cols, axis=-1)
-    out = jnp.einsum("bhwk,ko->bhwo", im,
-                     kp.reshape(khp * kwp * c2i, c2o),
-                     preferred_element_type=jnp.float32).astype(xp.dtype)
+    km = kp.reshape(khp * kwp * c2i, c2o)
+    if deint_out:
+        # Emit the deinterleave4 layout (B, H, 4, W/8, 128) directly: four
+        # strided-column GEMMs instead of one GEMM + a 118 MB transpose —
+        # the Pallas deint-native pipeline consumes this with zero layout
+        # ops anywhere in the path.
+        out = jnp.stack(
+            [jnp.einsum("bhwk,ko->bhwo", im[:, :, j::4, :], km,
+                        preferred_element_type=jnp.float32).astype(xp.dtype)
+             for j in range(4)], axis=2)
+    else:
+        out = jnp.einsum("bhwk,ko->bhwo", im, km,
+                         preferred_element_type=jnp.float32).astype(xp.dtype)
     if bias is not None:
         out = out + jnp.tile(bias.astype(xp.dtype), 2)
     if relu:

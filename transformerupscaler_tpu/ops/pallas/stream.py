@@ -332,6 +332,324 @@ def embed_stream(featd: jnp.ndarray, kernel, bias=None,
     return out
 
 
+def _conv_deint_kernel(cur, above, below, w, bias, out, islab, *, g_img,
+                       rows, relu):
+    """3x3 conv, deinterleaved in AND out — stage 1 of _conv_tail_kernel
+    as a standalone kernel (no tail, no dslab)."""
+    i = pl.program_id(1)
+    n = pl.num_programs(1)
+    dt = out.dtype
+
+    islab[:] = jnp.zeros_like(islab)
+    islab[1:1 + rows, :, 1:1 + g_img, :] = cur[0]
+
+    @pl.when(i > 0)
+    def _():
+        islab[0:1, :, 1:1 + g_img, :] = above[0, 3:4]
+
+    @pl.when(i < n - 1)
+    def _():
+        islab[1 + rows:2 + rows, :, 1:1 + g_img, :] = below[0, 0:1]
+
+    for j in range(4):
+        acc = jnp.zeros((rows * g_img, 128), jnp.float32)
+        for dy in range(3):
+            for dj in (-1, 0, 1):
+                jp = j + dj
+                gshift = -1 if jp < 0 else (1 if jp > 3 else 0)
+                js = jp % 4
+                g0 = 1 + gshift
+                piece = islab[dy:dy + rows, js, g0:g0 + g_img, :]
+                acc = acc + jnp.dot(piece.reshape(rows * g_img, 128),
+                                    w[dy, dj + 1],
+                                    preferred_element_type=jnp.float32)
+        acc = acc + bias[0:1, :].astype(jnp.float32)
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        out[0, :, j, :, :] = acc.reshape(rows, g_img, 128).astype(dt)
+
+
+def conv3x3_deint_stream(xd: jnp.ndarray, kernel, bias,
+                         relu: bool = False, rows: int = 16,
+                         interpret: bool | None = None) -> jnp.ndarray:
+    """conv3x3_packed_stream operating on the deinterleave4 layout.
+
+    xd: (B, H, 4, G, 128) -> same-shape output. With the patch kernels and
+    tails all reading/writing this layout, a deint-native conv removes the
+    interleave4/deinterleave4 transposes around the decoder conv and after
+    conv2 (~0.7 ms of pure HBM permutes on the serving frame). Same
+    reduction set as conv2d_packed_raw (exact modulo bf16 reassociation).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, _, g_img, _ = xd.shape
+    if h % rows:
+        rows = 8
+    dt = xd.dtype
+    w = pack_conv3(kernel).astype(dt)
+    bp = jnp.tile(jnp.asarray(bias, jnp.float32).reshape(1, 64), (1, 2)) \
+        if bias is not None else jnp.zeros((1, 128), jnp.float32)
+    nr = rows // 4
+    last = h // 4 - 1
+    in_specs = [
+        pl.BlockSpec((1, rows, 4, g_img, 128),
+                     lambda nb, i: (nb, i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4, 4, g_img, 128),
+                     lambda nb, i: (nb, jnp.maximum(i * nr - 1, 0), 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4, 4, g_img, 128),
+                     lambda nb, i: (nb, jnp.minimum(i * nr + nr, last),
+                                    0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        _wspec(w), _wspec(bp),
+    ]
+    out = pl.pallas_call(
+        partial(_conv_deint_kernel, g_img=g_img, rows=rows, relu=relu),
+        grid=(b, h // rows),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, rows, 4, g_img, 128),
+                               lambda nb, i: (nb, i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, 4, g_img, 128), dt),
+        scratch_shapes=[pltpu.VMEM((rows + 2, 4, g_img + 2, 128), dt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xd, xd, xd, w, bp)
+    return out
+
+
+def _conv_tail_emit_kernel(cur, above, below, wc, bc, wt, bt, out, feat_out,
+                           islab, dslab, *, g_img, pad_h, boff, rows,
+                           conv_relu, tail_relu):
+    """_conv_tail_kernel that ALSO writes the conv's interior rows as a
+    second (deinterleaved) output — the encoder case: featp feeds the
+    patch embed/unembed downstream."""
+    _conv_tail_kernel(cur, above, below, wc, bc, wt, bt, out, islab, dslab,
+                      g_img=g_img, pad_h=pad_h, boff=boff, rows=rows,
+                      conv_relu=conv_relu, tail_relu=tail_relu)
+    feat_out[0] = dslab[pad_h:pad_h + rows, :, 1:1 + g_img, :]
+
+
+def _conv_tail_kernel(cur, above, below, wc, bc, wt, bt, out, islab, dslab,
+                      *, g_img, pad_h, boff, rows, conv_relu, tail_relu):
+    """3x3 conv (deinterleaved in/out, VMEM-resident) -> composed tail, one
+    cell. Row/col alignment: dec row r of the cell covers image row
+    i*rows - pad_h + r; its 3x3 taps read islab rows r..r+2 (islab leads by
+    pad_h + 1 rows). Out-of-image dec rows are ZEROED after the conv — the
+    tail must see the zero-pad of the dec FEATURE map, not conv(0)=bias."""
+    i = pl.program_id(1)
+    n = pl.num_programs(1)
+    dt = out.dtype
+    hpad = pad_h + 1
+    rdec = rows + 2 * pad_h
+    kh, wcols, _, nout = wt.shape
+    wb = g_img
+
+    islab[:] = jnp.zeros_like(islab)
+    islab[hpad:hpad + rows, :, 1:1 + g_img, :] = cur[0]
+
+    @pl.when(i > 0)
+    def _():
+        islab[0:hpad, :, 1:1 + g_img, :] = above[0, 4 - hpad:4]
+
+    @pl.when(i < n - 1)
+    def _():
+        islab[hpad + rows:2 * hpad + rows, :, 1:1 + g_img, :] = \
+            below[0, 0:hpad]
+
+    dslab[:] = jnp.zeros_like(dslab)
+    for j in range(4):
+        acc = jnp.zeros((rdec * g_img, 128), jnp.float32)
+        for dy in range(3):
+            for dj in (-1, 0, 1):
+                jp = j + dj
+                gshift = -1 if jp < 0 else (1 if jp > 3 else 0)
+                js = jp % 4
+                g0 = 1 + gshift
+                piece = islab[dy:dy + rdec, js, g0:g0 + g_img, :]
+                acc = acc + jnp.dot(piece.reshape(rdec * g_img, 128),
+                                    wc[dy, dj + 1],
+                                    preferred_element_type=jnp.float32)
+        acc = acc + bc[0:1, :].astype(jnp.float32)
+        if conv_relu:
+            acc = jnp.maximum(acc, 0.0)
+        dslab[0:rdec, j, 1:1 + g_img, :] = acc.reshape(
+            rdec, g_img, 128).astype(dt)
+
+    @pl.when(i == 0)
+    def _():
+        dslab[0:pad_h] = jnp.zeros_like(dslab[0:pad_h])
+
+    @pl.when(i == n - 1)
+    def _():
+        dslab[rdec - pad_h:rdec] = jnp.zeros_like(dslab[rdec - pad_h:rdec])
+
+    acc2 = jnp.zeros((rows * wb, nout), jnp.float32)
+    for dy in range(kh):
+        for c in range(wcols):
+            rel = c - boff + 4
+            g0, j = rel // 4, rel % 4
+            piece = dslab[dy:dy + rows, j, g0:g0 + wb, :]
+            acc2 = acc2 + jnp.dot(piece.reshape(rows * wb, 128), wt[dy, c],
+                                  preferred_element_type=jnp.float32)
+    acc2 = acc2 + bt[0:1, :].astype(jnp.float32)
+    if tail_relu:
+        acc2 = jnp.maximum(acc2, 0.0)
+    out[0] = acc2.reshape(rows, wb, nout).astype(dt)
+
+
+def conv3x3_tail_stream(xd: jnp.ndarray, conv_kernel, conv_bias,
+                        tail_kernel, tail_bias=None,
+                        conv_relu: bool = True, tail_relu: bool = False,
+                        rows: int = 24,
+                        interpret: bool | None = None) -> jnp.ndarray:
+    """Fused 3x3 conv + composed tail, deinterleaved end-to-end.
+
+    xd: (B, H, 4, G, 128) deinterleaved packed input (e.g. straight from
+    unembed_combine_stream — NO interleave4/deinterleave4 round trip);
+    conv_kernel: (3, 3, 64, 64) raw HWIO; tail_kernel: (kh, kw, 64, co)
+    composed tail, pad_h = (kh-1)/2 <= 3. Returns (B, H, G, 8*co) macro-8.
+
+    Fusing the decoder chain kills: the interleave4 of the unembed output,
+    the 118 MB dec HBM write+read between conv and tail, and the tail's
+    deinterleave — ~0.9 ms of pure HBM traffic on the serving frame. Same
+    reduction set as conv2d_packed_raw -> conv2d_tail_packed(block=8)
+    (exact modulo bf16 reassociation); zero-pad semantics match both
+    stages (the dec map is zeroed outside the image before the tail).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, _, g_img, _ = xd.shape
+    if h % rows:
+        rows = 8
+    dt = xd.dtype
+    kh, kw, cin, co = tail_kernel.shape
+    pad_h = (kh - 1) // 2
+    assert pad_h <= 3, "tail taller than 7 needs a wider row halo"
+    wt, boff = pack_tail_macro8(tail_kernel)
+    wt = wt.astype(dt)
+    wc = pack_conv3(conv_kernel).astype(dt)
+    bcp = jnp.tile(jnp.asarray(conv_bias if conv_bias is not None
+                               else jnp.zeros((64,)), jnp.float32)
+                   .reshape(1, 64), (1, 2))
+    btp = jnp.tile(
+        jnp.asarray(tail_bias if tail_bias is not None else jnp.zeros((co,)),
+                    jnp.float32).reshape(1, co), (1, 8))
+
+    nr = rows // 4
+    last = h // 4 - 1
+    in_specs = [
+        pl.BlockSpec((1, rows, 4, g_img, 128),
+                     lambda nb, i: (nb, i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4, 4, g_img, 128),
+                     lambda nb, i: (nb, jnp.maximum(i * nr - 1, 0), 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4, 4, g_img, 128),
+                     lambda nb, i: (nb, jnp.minimum(i * nr + nr, last),
+                                    0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        _wspec(wc), _wspec(bcp), _wspec(wt), _wspec(btp),
+    ]
+    hpad = pad_h + 1
+    out = pl.pallas_call(
+        partial(_conv_tail_kernel, g_img=g_img, pad_h=pad_h, boff=boff,
+                rows=rows, conv_relu=conv_relu, tail_relu=tail_relu),
+        grid=(b, h // rows),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, rows, g_img, 8 * co),
+                               lambda nb, i: (nb, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, g_img, 8 * co), dt),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * hpad, 4, g_img + 2, 128), dt),
+            pltpu.VMEM((rows + 2 * pad_h, 4, g_img + 2, 128), dt),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xd, xd, xd, wc, bcp, wt, btp)
+    return out
+
+
+def conv3x3_tail_emit_stream(xd: jnp.ndarray, conv_kernel, conv_bias,
+                             tail_kernel, tail_bias=None,
+                             conv_relu: bool = True, tail_relu: bool = True,
+                             rows: int = 24,
+                             interpret: bool | None = None):
+    """conv3x3_tail_stream that also returns the conv feature map.
+
+    The encoder case: featp = conv2(feat1) feeds BOTH the branch-A tail
+    (fused here) and the patch embed/unembed downstream — returned as the
+    second output in deinterleave4 layout (B, H, 4, G, 128), Pallas-
+    produced so every downstream Pallas consumer is a clean crossing.
+    Returns (a12 macro-8 (B, H, G, 8*co), featd).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, _, g_img, _ = xd.shape
+    if h % rows:
+        rows = 8
+    dt = xd.dtype
+    kh, kw, cin, co = tail_kernel.shape
+    pad_h = (kh - 1) // 2
+    assert pad_h <= 3, "tail taller than 7 needs a wider row halo"
+    wt, boff = pack_tail_macro8(tail_kernel)
+    wt = wt.astype(dt)
+    wc = pack_conv3(conv_kernel).astype(dt)
+    bcp = jnp.tile(jnp.asarray(conv_bias if conv_bias is not None
+                               else jnp.zeros((64,)), jnp.float32)
+                   .reshape(1, 64), (1, 2))
+    btp = jnp.tile(
+        jnp.asarray(tail_bias if tail_bias is not None else jnp.zeros((co,)),
+                    jnp.float32).reshape(1, co), (1, 8))
+
+    nr = rows // 4
+    last = h // 4 - 1
+    in_specs = [
+        pl.BlockSpec((1, rows, 4, g_img, 128),
+                     lambda nb, i: (nb, i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4, 4, g_img, 128),
+                     lambda nb, i: (nb, jnp.maximum(i * nr - 1, 0), 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4, 4, g_img, 128),
+                     lambda nb, i: (nb, jnp.minimum(i * nr + nr, last),
+                                    0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        _wspec(wc), _wspec(bcp), _wspec(wt), _wspec(btp),
+    ]
+    hpad = pad_h + 1
+    out, feat = pl.pallas_call(
+        partial(_conv_tail_emit_kernel, g_img=g_img, pad_h=pad_h, boff=boff,
+                rows=rows, conv_relu=conv_relu, tail_relu=tail_relu),
+        grid=(b, h // rows),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, rows, g_img, 8 * co),
+                         lambda nb, i: (nb, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, 4, g_img, 128),
+                         lambda nb, i: (nb, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, g_img, 8 * co), dt),
+            jax.ShapeDtypeStruct((b, h, 4, g_img, 128), dt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2 * hpad, 4, g_img + 2, 128), dt),
+            pltpu.VMEM((rows + 2 * pad_h, 4, g_img + 2, 128), dt),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xd, xd, xd, wc, bcp, wt, btp)
+    return out, feat
+
+
 def _tail_kernel(cur, above, below, w, bias, out, slab, *, g_img, pad_h,
                  boff, rows, relu):
     i = pl.program_id(1)

@@ -61,21 +61,28 @@ def _trunk2_kernel(x_ref, mask_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
         qkv = (jnp.dot(y, qkvw[l], preferred_element_type=jnp.float32)
                .astype(dt) + qkvb[l]).reshape(wpc, n, 3 * c)
         bias_l = bias_ref[l]  # (heads*n, n) f32
-        ctxs = []
+        # Three batched passes instead of one loop: all score dots
+        # back-to-back (MXU overlaps the next window's qp build), ONE
+        # batched softmax (vectorized VPU), then all context dots — the
+        # per-window softmax/extract serialization was the v2.0 loss.
+        scores = []
         for w in range(wpc):  # static unroll: all slices static
             q = qkv[w, :, 0:c] * scale
             k = qkv[w, :, c:2 * c]
-            v = qkv[w, :, 2 * c:3 * c]
             qp = jnp.broadcast_to(q[None], (heads, n, c)).reshape(
                 heads * n, c) * mask
             s = jax.lax.dot_general(
                 qp, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (heads*n, n)
-            s = s + bias_l
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            o = jnp.dot(p.astype(dt), v,
+            scores.append(s + bias_l)
+        ss = jnp.stack(scores)  # (wpc, heads*n, n) f32
+        m = jnp.max(ss, axis=-1, keepdims=True)
+        p = jnp.exp(ss - m)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(dt)
+        ctxs = []
+        for w in range(wpc):
+            v = qkv[w, :, 2 * c:3 * c]
+            o = jnp.dot(p[w], v,
                         preferred_element_type=jnp.float32).astype(dt)
             # block-diagonal extraction: each output element has exactly one
             # nonzero head contribution, so the head-sum is exact.
@@ -95,7 +102,7 @@ def _trunk2_kernel(x_ref, mask_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
 
 def fused_window_trunk_v2(win: jnp.ndarray, block_params: list[dict],
                           num_heads: int, window_size: int,
-                          windows_per_cell: int = 8,
+                          windows_per_cell: int = 16,
                           interpret: bool | None = None) -> jnp.ndarray:
     """win: (nW, ws*ws, C) window tokens -> same shape after all blocks.
 
