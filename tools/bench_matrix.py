@@ -44,7 +44,8 @@ MODELS = ["BicubicInterpolation", "ResidualTransformer", "WindowTransformer",
 SCALES = [2, 3, 4, 6]
 # pallas_serve implies the packed pipeline for FastTransformer; models
 # without the field (Bicubic/Window/Residual) ignore unknown overrides.
-SERVE_KW = dict(compose_tails=True, packed_serve=True, pallas_serve=True)
+SERVE_KW = dict(compose_tails=True, packed_serve=True, pallas_serve=True,
+                attn_impl="fused2")
 
 # Below this per-frame time the probe difference is noise-dominated at
 # small K; escalate K, and flag the row as a floor estimate if still under.

@@ -56,18 +56,13 @@ def main():
         pre_bias=p["decoder_conv2"]["bias"])
     blocks = [p[f"blocks_{i}"] for i in range(6)]
 
-    from transformerupscaler_tpu.ops.pallas.stream import deinterleave4
-
-    c1_deint = os.environ.get("TUX_CONV1_DEINT", "0") == "1"
+    from transformerupscaler_tpu.ops.conv import conv2d_packed_dots_deint
 
     def stages(upto):
         def fn(pp, v):
             xp = v.reshape(1, 720, 640, 6)
-            f1 = conv2d_packed_dots(xp, p["conv1"]["kernel"].astype(dt),
-                                    p["conv1"]["bias"], relu=True,
-                                    deint_out=c1_deint)
-            if not c1_deint:
-                f1 = deinterleave4(f1)
+            f1 = conv2d_packed_dots_deint(xp, p["conv1"]["kernel"].astype(dt),
+                                          p["conv1"]["bias"], relu=True)
             if upto == 1:
                 return f1
             ft = conv3x3_deint_stream(f1, p["conv2"]["kernel"].astype(dt),

@@ -351,16 +351,11 @@ class FastTransformer(nn.Module):
         _fuse = _os.environ.get("TUX_FUSE_STREAM", "0") == "1"
         fuse_enc = _fuse and use_pallas and not i8a and not direct_tails
         enc_deint = use_pallas and not i8a and not direct_tails and not fuse_enc
-        # TUX_CONV1_DEINT=1: conv1 emits the deinterleave4 layout directly
-        # (four strided-column GEMMs). Measured SLOWER than one GEMM + the
-        # explicit transpose (9.29 vs 8.85 ms in-model) — the strided im2col
-        # reads defeat XLA's GEMM input fusion. Kept for probing.
-        c1_deint = enc_deint and _os.environ.get("TUX_CONV1_DEINT",
-                                                 "0") == "1"
-        if use_pallas:
+        if enc_deint:
+            feat1 = None  # conv1 runs deint-native inside the branch below
+        elif use_pallas:
             feat1 = conv2d_packed_dots(xp, p1["kernel"].astype(dt),
-                                       p1["bias"], relu=True,
-                                       deint_out=c1_deint)
+                                       p1["bias"], relu=True)
         else:
             feat1 = conv2d_packed_raw(xp, p1["kernel"].astype(dt), p1["bias"],
                                       relu=True)
@@ -391,11 +386,18 @@ class FastTransformer(nn.Module):
             # (tails, patch kernels, decoder) reads the deinterleave4
             # layout, so convolving in it directly removes the featp
             # transpose entirely.
+            from transformerupscaler_tpu.ops.conv import (
+                conv2d_packed_dots_deint,
+            )
             from transformerupscaler_tpu.ops.pallas.stream import (
                 conv3x3_deint_stream,
             )
 
-            f1d = feat1 if c1_deint else deinterleave4(feat1)
+            # conv1 emits the deinterleave4 layout via contiguous-slice
+            # im2col GEMMs (only the 5.5 MB INPUT is transposed) — the
+            # GEMM-output transpose measured ~0.6 ms un-fused in-context.
+            f1d = conv2d_packed_dots_deint(xp, p1["kernel"].astype(dt),
+                                           p1["bias"], relu=True)
             feat_t = conv3x3_deint_stream(f1d, p2["kernel"].astype(dt),
                                           p2["bias"], relu=True)
         elif use_pallas:

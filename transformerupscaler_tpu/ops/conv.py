@@ -149,6 +149,55 @@ def conv2d_packed_dots(xp: jnp.ndarray, kernel: jnp.ndarray,
     return out
 
 
+def conv2d_packed_dots_deint(xp: jnp.ndarray, kernel: jnp.ndarray,
+                             bias: jnp.ndarray | None = None,
+                             relu: bool = False) -> jnp.ndarray:
+    """conv2d_packed_dots emitting the deinterleave4 layout with NO large
+    transpose: the (tiny, 5.5 MB at 720p) INPUT is deinterleaved instead,
+    and the conv becomes four contiguous-slice im2col GEMMs — one per
+    within-group column j — each writing its (B, H, G, 2Cout) plane of the
+    (B, H, 4, G, 2Cout) output directly.
+
+    This replaced ``conv2d_packed_dots(...) + deinterleave4`` on the
+    serving path: the GEMM-output transpose measured ~0.6 ms in-context
+    (XLA won't fuse it into the GEMM epilogue), the input one ~0.02.
+    Exact (same reduction set, zero-padded extra slots).
+    """
+    b, h, wp2, c2i = xp.shape
+    g = wp2 // 4
+    kh, kw, cin, cout = kernel.shape
+    pad_h = (kh - 1) // 2
+    pad = (kw - 1) // 2
+    jmin = (0 - pad) // 2
+    kp = pack_kernel_width2(kernel).astype(xp.dtype)
+    khp, kwp, _, c2o = kp.shape
+    km = kp.reshape(khp * kwp * c2i, c2o)
+    # Pad a whole group (4 packed cols) per side so every width tap is a
+    # clean +-1 group shift in deint coordinates.
+    xpad = jnp.pad(xp, ((0, 0), (pad_h, pad_h), (4, 4), (0, 0)))
+    xd = (xpad.reshape(b, h + 2 * pad_h, g + 2, 4, c2i)
+          .transpose(0, 1, 3, 2, 4))  # (B, H+2p, 4, G+2, 2Cin)
+    outs = []
+    for j in range(4):
+        cols = []
+        for dy in range(khp):
+            for jc in range(kwp):
+                t = j + jc + jmin
+                js = t % 4
+                gs = 1 + (-1 if t < 0 else (1 if t > 3 else 0))
+                cols.append(xd[:, dy:dy + h, js, gs:gs + g, :])
+        im = jnp.concatenate(cols, axis=-1)
+        outs.append(jnp.einsum("bhgk,ko->bhgo", im, km,
+                               preferred_element_type=jnp.float32)
+                    .astype(xp.dtype))
+    out = jnp.stack(outs, axis=2)  # (B, H, 4, G, 2Cout)
+    if bias is not None:
+        out = out + jnp.tile(bias.astype(xp.dtype), 2)
+    if relu:
+        out = jax.nn.relu(out)
+    return out
+
+
 def conv2d_packed_raw(xp: jnp.ndarray, kernel: jnp.ndarray,
                       bias: jnp.ndarray | None = None,
                       relu: bool = False) -> jnp.ndarray:
