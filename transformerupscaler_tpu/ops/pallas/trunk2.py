@@ -41,24 +41,9 @@ from jax.experimental.pallas import tpu as pltpu
 from transformerupscaler_tpu.ops.pallas.trunk import (
     _gelu_exact,
     _head_mask,
+    _layernorm,
 )
 from transformerupscaler_tpu.ops.relpos import gather_relative_bias
-
-
-def _layernorm_mxu(x, scale, bias, eps=1e-5):
-    """LayerNorm with the mean/mean-square stats computed as ONE MXU
-    matvec instead of VPU cross-LANE reductions (the minor-dim reduce is
-    the VPU's weak spot — ablation: the 12 layernorms cost 0.53 ms of the
-    2.37 ms trunk, tools/trunk_ablate.py). Same f32 fast-variance stats as
-    flax/_layernorm."""
-    t, c = x.shape
-    xf = x.astype(jnp.float32)
-    ones = jnp.full((c, 1), 1.0 / c, jnp.float32)
-    mu = jnp.dot(xf, ones, preferred_element_type=jnp.float32)
-    ms = jnp.dot(xf * xf, ones, preferred_element_type=jnp.float32)
-    var = ms - mu * mu
-    y = (xf - mu) * jax.lax.rsqrt(var + eps)
-    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
 
 
 def _trunk2_kernel(x_ref, mask_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
@@ -72,7 +57,7 @@ def _trunk2_kernel(x_ref, mask_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
 
     x = x_ref[:].reshape(t, c)
     for l in range(layers):
-        y = _layernorm_mxu(x, ln1s[l], ln1b[l]).astype(dt)
+        y = _layernorm(x, ln1s[l], ln1b[l]).astype(dt)
         qkv = (jnp.dot(y, qkvw[l], preferred_element_type=jnp.float32)
                .astype(dt) + qkvb[l]).reshape(wpc, n, 3 * c)
         bias_l = bias_ref[l]  # (heads*n, n) f32
@@ -93,12 +78,7 @@ def _trunk2_kernel(x_ref, mask_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
         ss = jnp.stack(scores)  # (wpc, heads*n, n) f32
         m = jnp.max(ss, axis=-1, keepdims=True)
         p = jnp.exp(ss - m)
-        # denominator as an MXU matvec — the cross-lane VPU sum is slow
-        # (see _layernorm_mxu); keep the max subtraction for stability.
-        den = jnp.dot(p.reshape(wpc * heads * n, n),
-                      jnp.full((n, 1), 1.0, jnp.float32),
-                      preferred_element_type=jnp.float32)
-        p = (p * (1.0 / den).reshape(wpc, heads * n, 1)).astype(dt)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(dt)
         ctxs = []
         for w in range(wpc):
             v = qkv[w, :, 2 * c:3 * c]
@@ -110,7 +90,7 @@ def _trunk2_kernel(x_ref, mask_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
         attn = jnp.concatenate(ctxs, axis=0)  # (t, c)
         x = x + (jnp.dot(attn, projw[l], preferred_element_type=jnp.float32)
                  .astype(dt) + projb[l])
-        y2 = _layernorm_mxu(x, ln2s[l], ln2b[l]).astype(dt)
+        y2 = _layernorm(x, ln2s[l], ln2b[l]).astype(dt)
         h1 = (jnp.dot(y2, fc1w[l], preferred_element_type=jnp.float32)
               .astype(dt) + fc1b[l])
         h1 = _gelu_exact(h1)
