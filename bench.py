@@ -60,11 +60,17 @@ def main():
                      attn_impl="fused2")
     params = base.init(key, x, res_out=res_out)
 
-    if config in ("int8_residual", "int8_full"):
+    if config in ("int8_residual", "int8_full", "int8_tails"):
         scope = config.split("_", 1)[1]
+        # The "tails" scope lives inside the Pallas pipeline; its dynamic
+        # calibration pass must run the same pipeline so the sown feat/dec
+        # scales measure exactly the tensors the int8 tail kernels will
+        # consume. residual/full calibrate through the all-XLA int8 path.
+        tails = scope == "tails"
         m_dyn = get_model("FastTransformer", dtype=jnp.bfloat16,
                           compose_tails=True, int8_serve=True,
-                          int8_scope=scope)
+                          int8_scope=scope, pallas_serve=tails,
+                          attn_impl="fused2" if tails else "xla")
         _, inter = jax.jit(
             lambda pp, v: m_dyn.apply(pp, v, res_out=res_out,
                                       mutable=["intermediates"]))(params, x)
@@ -80,7 +86,9 @@ def main():
                        for n in ("feat1", "feat", "combined", "dec", "tokens"))
         model = get_model("FastTransformer", dtype=jnp.bfloat16,
                           compose_tails=True, int8_serve=True,
-                          int8_scope=scope, int8_scales=scales)
+                          int8_scope=scope, int8_scales=scales,
+                          pallas_serve=tails,
+                          attn_impl="fused2" if tails else "xla")
     else:
         model = base
 

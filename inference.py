@@ -64,6 +64,15 @@ def main(args):
     # inference (reference inference.py:117-122); --int8_mlp routes the MLP
     # GEMMs through the true int8 MXU path (ops/quant.int8_dense).
     dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[args.dtype]
+    # --fast rides the Pallas stream kernels on TPU (the measured-best
+    # serving path, PERFORMANCE.md); on other backends they would run in
+    # interpret mode, so stay on the all-XLA packed path there. The
+    # "tails" int8 scope lives inside the Pallas pipeline, so it forces
+    # pallas_serve on (interpret-mode correct, but slow off-TPU).
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    pallas = (args.fast and on_tpu) or args.int8_serve == "tails"
     engine = UpscalerEngine(args.model, checkpoint_dir=args.checkpoint_dir,
                             quantize=args.quantize, dtype=dtype,
                             int8_mlp=args.int8_mlp,
@@ -73,7 +82,10 @@ def main(args):
                                         else "full"),
                             compose_tails=args.int8_serve != "off"
                                           or args.fast,
-                            packed_serve=args.fast)
+                            packed_serve=args.fast,
+                            pallas_serve=pallas,
+                            attn_impl="fused2" if pallas and on_tpu
+                                      else "xla")
     if engine.checkpoint_path:
         print(f"Loading checkpoint: {engine.checkpoint_path}")
     else:
@@ -147,7 +159,8 @@ if __name__ == "__main__":
                              "scale in {2,3,4,6}, input h %% 8 == 0 and "
                              "w %% 16 == 0; other geometries fall back "
                              "with a warning")
-    parser.add_argument("--int8_serve", choices=["off", "residual", "full"],
+    parser.add_argument("--int8_serve",
+                        choices=["off", "residual", "full", "tails"],
                         default="off",
                         help="int8 conv/GEMM serving scope on the packed "
                              "path ('residual' keeps the image branch bf16)")

@@ -27,10 +27,17 @@ def main(args):
 
     from transformerupscaler_tpu.resolutions import resolutions
     res_out = resolutions[args.res_out]
+    # --fast adds the Pallas stream kernels on TPU (PERFORMANCE.md headline
+    # config); "tails" int8 scope requires them on any backend.
+    on_tpu = jax.default_backend() == "tpu"
+    pallas = (args.fast and on_tpu) or args.int8 == "tails"
     engine = UpscalerEngine(args.model, checkpoint_dir=args.checkpoint_dir,
                             dtype=jnp.bfloat16 if args.fast else jnp.float32,
                             compose_tails=args.fast,
                             packed_serve=args.fast,
+                            pallas_serve=pallas,
+                            attn_impl="fused2" if pallas and on_tpu
+                                      else "xla",
                             int8_serve=args.int8 != "off",
                             int8_scope=(args.int8 if args.int8 != "off"
                                         else "full"))
@@ -151,7 +158,8 @@ if __name__ == "__main__":
                              "geometries outside the packed gate (scale in "
                              "{2,3,4,6}, h %% 8 == 0, w %% 16 == 0) fall "
                              "back with a warning")
-    parser.add_argument("--int8", choices=["off", "residual", "full"],
+    parser.add_argument("--int8",
+                        choices=["off", "residual", "full", "tails"],
                         default="off",
                         help="int8 serving scope on the packed path")
     parser.add_argument("--res_out", type=str, default="4k",

@@ -44,13 +44,20 @@ def main(args):
     res_out = resolutions[args.res_out]
     print(f"Streaming on device: {jax.devices()[0]} | {res_in} -> {res_out}")
 
+    # --fast = the PERFORMANCE.md headline serving config (Pallas stream
+    # kernels + fused2 trunk) on TPU; off-TPU the Pallas kernels would run
+    # in interpret mode, so fall back to the all-XLA packed path there.
+    on_tpu = jax.default_backend() == "tpu"
+    pallas = (args.fast and on_tpu) or args.int8 == "tails"
     pipe = StreamPipeline(args.model, res_in, res_out,
                           checkpoint_dir=args.checkpoint_dir,
                           quantize=args.quantize, int8_mlp=args.int8_mlp,
                           int8_serve=args.int8 != "off",
                           int8_scope=args.int8 if args.int8 != "off" else "full",
                           compose_tails=args.fast or args.int8 != "off",
-                          packed_serve=args.fast, pallas_serve=args.fast)
+                          packed_serve=args.fast, pallas_serve=pallas,
+                          attn_impl="fused2" if pallas and on_tpu
+                                    else "xla")
     print(f"checkpoint loaded: {pipe.from_checkpoint}")
     t = pipe.warmup()
     print(f"compiled in {t:.1f}s")
@@ -88,7 +95,8 @@ if __name__ == "__main__":
     parser.add_argument("--save_last", type=str, default=None)
     parser.add_argument("--quantize", action="store_true",
                         help="int8 weight quantization of linear layers")
-    parser.add_argument("--int8", choices=["off", "residual", "full"],
+    parser.add_argument("--int8",
+                        choices=["off", "residual", "full", "tails"],
                         default="off",
                         help="int8 serving scope on the packed path "
                              "(PERFORMANCE.md; 'residual' keeps the "

@@ -190,3 +190,93 @@ def test_embed_stream_matches_xla(rng):
     got = embed_stream(deinterleave4(featp), ke, be, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=2e-5)
+
+
+def test_tail_macro8_stream_int8_matches_xla_int8(rng):
+    from transformerupscaler_tpu.ops.conv import conv2d_tail_packed_int8
+    from transformerupscaler_tpu.ops.pallas.stream import (
+        tail_macro8_stream_int8,
+    )
+    from transformerupscaler_tpu.ops.quant import quantize_act_ch
+
+    x = jnp.asarray(np.abs(rng.standard_normal((1, 16, 32, 128)))
+                    .astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((7, 7, 64, 12)).astype(np.float32)
+                    * 0.1)
+    b = jnp.asarray(rng.standard_normal(12).astype(np.float32))
+    scl = jnp.asarray(np.abs(rng.standard_normal(64)).astype(np.float32)
+                      * 0.01 + 1e-3)
+    q, _ = quantize_act_ch(x, jnp.tile(scl, 2))
+    want = conv2d_tail_packed_int8(q, k, scl, b, relu=True,
+                                   out_dtype=jnp.float32, block=8)
+    got = tail_macro8_stream_int8(deinterleave4(q), k, scl, b, relu=True,
+                                  out_dtype=jnp.float32, rows=8,
+                                  interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(np.asarray(want).shape), np.asarray(want),
+        rtol=1e-4, atol=1e-4)
+
+
+def test_conv3x3_deint_stream_int8_emit(rng):
+    """out_scale epilogue == bf16 conv followed by quantize_act_ch, up to
+    the multiply-by-reciprocal rounding at exact ties (<=1 quantum)."""
+    from transformerupscaler_tpu.ops.pallas.stream import (
+        conv3x3_deint_stream,
+    )
+    from transformerupscaler_tpu.ops.quant import quantize_act_ch
+
+    xp = _packed(rng)
+    xd = deinterleave4(xp)
+    k = jnp.asarray(rng.standard_normal((3, 3, 64, 64)).astype(np.float32)
+                    * 0.1)
+    b = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    scl = jnp.asarray(np.abs(rng.standard_normal(64)).astype(np.float32)
+                      * 0.02 + 1e-3)
+    y = conv3x3_deint_stream(xd, k, b, relu=True, rows=8, interpret=True)
+    want, _ = quantize_act_ch(y, jnp.tile(scl, 2))
+    got = conv3x3_deint_stream(xd, k, b, relu=True, rows=8,
+                               out_scale=scl, interpret=True)
+    assert got.dtype == jnp.int8
+    d = np.abs(np.asarray(got, np.int32) - np.asarray(want, np.int32))
+    assert d.max() <= 1
+    assert (d != 0).mean() < 1e-3
+
+
+def test_embed_stream_int8_dequant(rng):
+    from transformerupscaler_tpu.ops.quant import quantize_act_ch
+
+    feat = jnp.asarray(np.abs(rng.standard_normal((1, 16, 32, 128)))
+                       .astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((8, 8, 64, 48)).astype(np.float32)
+                    * 0.1)
+    b = jnp.asarray(rng.standard_normal(48).astype(np.float32))
+    scl = jnp.asarray(np.abs(rng.standard_normal(64)).astype(np.float32)
+                      * 0.01 + 1e-3)
+    q, _ = quantize_act_ch(feat, jnp.tile(scl, 2))
+    deq = (q.astype(jnp.float32) * jnp.tile(scl, 2)).astype(jnp.float32)
+    want = patch_embed_packed(deq, k, b)
+    got = embed_stream(deinterleave4(q), k, b, in_scale=scl,
+                       out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_unembed_combine_stream_feat_scale(rng):
+    from transformerupscaler_tpu.ops.quant import quantize_act_ch
+
+    feat = jnp.asarray(np.abs(rng.standard_normal((1, 16, 32, 128)))
+                       .astype(np.float32))
+    tokens = jnp.asarray(rng.standard_normal((1, 2, 8, 48))
+                         .astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((48, 8, 8, 64)).astype(np.float32)
+                    * 0.1)
+    b = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    scl = jnp.asarray(np.abs(rng.standard_normal(64)).astype(np.float32)
+                      * 0.01 + 1e-3)
+    q, _ = quantize_act_ch(feat, jnp.tile(scl, 2))
+    deq = q.astype(jnp.float32) * jnp.tile(scl, 2)
+    want = patch_unembed_packed(tokens, k, b) + deq
+    got = unembed_combine_stream(tokens, deinterleave4(q), k, b,
+                                 feat_scale=scl, interpret=True)
+    np.testing.assert_allclose(np.asarray(interleave4(got)),
+                               np.asarray(want), rtol=1e-4, atol=1e-4)

@@ -236,3 +236,51 @@ def test_gptq_engine_bakes_prequantized_weights(tmp_path):
     assert names == {"conv1", "conv2", "tailA_s2"}
     y = eng.upscale(frames[0], res_out=(72, 96))
     assert np.abs(y - y_ref).mean() < 0.01
+
+
+def test_int8_tails_scope_close_to_f32():
+    """"tails" scope (Pallas deint pipeline, int8 Pallas tail kernels with
+    dynamic scales) tracks the f32 pallas path within quantization error —
+    tighter than the full scope, since it quantizes a subset of full's
+    tensor set."""
+    import jax
+    import jax.numpy as jnp
+    from transformerupscaler_tpu.registry import get_model
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (1, 48, 64, 3), jnp.float32)
+    m_c = get_model("FastTransformer", dtype=jnp.float32, compose_tails=True,
+                    pallas_serve=True)
+    m_t = get_model("FastTransformer", dtype=jnp.float32, compose_tails=True,
+                    pallas_serve=True, int8_serve=True, int8_scope="tails")
+    m_f = get_model("FastTransformer", dtype=jnp.float32, compose_tails=True,
+                    int8_serve=True, int8_scope="full")
+    params = m_c.init(key, x, res_out=(72, 96))
+    y_c = np.asarray(m_c.apply(params, x, res_out=(72, 96)))
+    e_t = np.abs(np.asarray(m_t.apply(params, x, res_out=(72, 96))) - y_c)
+    e_f = np.abs(np.asarray(m_f.apply(params, x, res_out=(72, 96))) - y_c)
+    assert e_t.mean() > 0            # quantization engaged
+    assert e_t.mean() <= e_f.mean()
+    assert e_t.mean() < 5e-3, e_t.mean()
+
+
+def test_int8_tails_static_calibration(tmp_path):
+    """Engine calibration on the tails scope: the dynamic pass sows
+    feat/dec scales through the Pallas pipeline; the static rebuild (conv
+    epilogue emits int8) matches the dynamic-quant output to quant error."""
+    import jax.numpy as jnp
+    from transformerupscaler_tpu.infer_lib import UpscalerEngine
+
+    rng = np.random.default_rng(0)
+    img = rng.random((48, 64, 3)).astype(np.float32)
+    eng = UpscalerEngine("FastTransformer", checkpoint_dir=str(tmp_path),
+                         dtype=jnp.float32, compose_tails=True,
+                         pallas_serve=True, int8_serve=True,
+                         int8_scope="tails")
+    y_dyn = eng.upscale(img, res_out=(72, 96))
+    scales = eng.calibrate_int8(img, res_out=(72, 96))
+    assert len(scales) == 5
+    assert len(scales[1]) == 64 and len(scales[3]) == 64  # feat, dec
+    assert scales[0] == (1.0,) and scales[4] == (1.0,)    # unquantized
+    y_stat = eng.upscale(img, res_out=(72, 96))
+    assert np.abs(y_dyn - y_stat).mean() < 0.01

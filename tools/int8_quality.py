@@ -42,7 +42,8 @@ def main():
     ap.add_argument("--calib_frames", type=int, default=10)
     ap.add_argument("--calib", choices=["static", "dynamic"],
                     default="static")
-    ap.add_argument("--scope", choices=["full", "residual"], default="full")
+    ap.add_argument("--scope", choices=["full", "residual", "tails"],
+                    default="full")
     ap.add_argument("--margin", type=float, default=1.25)
     ap.add_argument("--res_out", type=str, default="1440,2560",
                     help="output geometry H,W (input is 720p)")
@@ -71,7 +72,8 @@ def main():
     eng_q = UpscalerEngine("FastTransformer", dtype=jnp.float32,
                            checkpoint_dir=args.checkpoint_dir,
                            compose_tails=True, int8_serve=True,
-                           int8_scope=args.scope)
+                           int8_scope=args.scope,
+                           pallas_serve=args.scope == "tails")
     print(f"checkpoint: {eng_f.checkpoint_path}  res_out={res_out}  "
           f"scope={args.scope}", flush=True)
 

@@ -76,7 +76,13 @@ class FastTransformer(nn.Module):
     # in bf16 and quantizes only the residual branch (patch embed/unembed,
     # decoder conv, B tail) — the quantization error then enters the output
     # only through the small residual, keeping the PSNR delta tiny
-    # (tools/int8_quality.py).
+    # (tools/int8_quality.py). "tails" (pallas_serve only) keeps every conv
+    # and GEMM in bf16 and runs just the two composed tails as int8
+    # Pallas MXU kernels, with the activation quantize fused into the
+    # producing conv's epilogue when int8_scales is static — the tails'
+    # macro-8 MAC inflation is where int8's doubled MXU rate pays most,
+    # and the quantized tensor set is a subset of "full"'s (quality-safe
+    # per tools/int8_quality.py).
     int8_scope: str = "full"
     # Static activation scales (feat1, feat, combined, dec, tokens);
     # None = dynamic per-tensor abs-max.
@@ -249,9 +255,13 @@ class FastTransformer(nn.Module):
         # i8a: image-carrying branch (conv1/conv2/tail A); i8b: residual
         # branch (embed/unembed/decoder/tail B). "residual" scope keeps the
         # image branch in bf16 so quantization error enters only through the
-        # small predicted residual.
+        # small predicted residual. "tails" scope (i8t) rides the Pallas
+        # deint pipeline and quantizes ONLY the two composed-tail inputs
+        # (feat, dec) — both i8a/i8b stay False so the deint-native conv
+        # routing below is unchanged.
+        i8t = self.int8_serve and self.int8_scope == "tails"
         i8a = self.int8_serve and self.int8_scope == "full"
-        i8b = self.int8_serve
+        i8b = self.int8_serve and not i8t
         b, h, w, cin = x.shape
         xp = x.reshape(b, h, w // 2, 2 * cin)
 
@@ -286,6 +296,7 @@ class FastTransformer(nn.Module):
                 embed_stream,
                 interleave4,
                 tail_macro8_stream,
+                tail_macro8_stream_int8,
                 unembed_combine_stream,
             )
 
@@ -339,9 +350,28 @@ class FastTransformer(nn.Module):
 
         _pp = _os.environ.get("TUX_PALLAS_PATCH", "embed,unembed")
         pallas_patch = use_pallas and self.patch_size == 8
-        pallas_embed = pallas_patch and "embed" in _pp
-        pallas_unembed = pallas_patch and "unembed" in _pp
         pallas_tails = use_pallas and not direct_tails
+        # The tails scope needs the full deint pipeline: Pallas tails AND
+        # both patch kernels reading the (possibly int8) deint feature map.
+        # Outside it (no pallas, scale-6 direct tails, non-8 patch) the
+        # tails quantize nothing — serve plain bf16.
+        i8t = i8t and pallas_tails and pallas_patch
+        pallas_embed = pallas_patch and ("embed" in _pp or i8t)
+        pallas_unembed = pallas_patch and ("unembed" in _pp or i8t)
+
+        def tail_scale(name, td, idx):
+            """Per-raw-channel activation scale for the int8 tails scope:
+            static (calibrated) when int8_scales is set, else measured on
+            the deinterleaved bf16 tensor (the calibration pass itself).
+            Sown for UpscalerEngine.calibrate_int8, like act_q."""
+            if self.int8_scales is not None:
+                s = jnp.asarray(self.int8_scales[idx], jnp.float32)
+            else:
+                m = jnp.max(jnp.abs(td.astype(jnp.float32)),
+                            axis=(0, 1, 2, 3))
+                s = jnp.maximum(jnp.maximum(m[:64], m[64:]), 1e-8) / 127.0
+            self.sow("intermediates", f"int8_scale_{name}", s)
+            return s
         # Fused encoder (conv3x3_tail_emit_stream): conv2 + branch-A tail in
         # one kernel, emitting feat_t (deinterleaved) for the patch stages —
         # the 118 MB featp HBM round trip and its deinterleave disappear.
@@ -349,7 +379,8 @@ class FastTransformer(nn.Module):
         # SLOWER in-model (10.24 vs 9.70 ms) — Mosaic schedules the
         # 90-dot fused cells worse than the pipelined separate kernels.
         _fuse = _os.environ.get("TUX_FUSE_STREAM", "0") == "1"
-        fuse_enc = _fuse and use_pallas and not i8a and not direct_tails
+        fuse_enc = (_fuse and use_pallas and not i8a and not i8t
+                    and not direct_tails)
         enc_deint = use_pallas and not i8a and not direct_tails and not fuse_enc
         if enc_deint:
             feat1 = None  # conv1 runs deint-native inside the branch below
@@ -398,8 +429,27 @@ class FastTransformer(nn.Module):
             # GEMM-output transpose measured ~0.6 ms un-fused in-context.
             f1d = conv2d_packed_dots_deint(xp, p1["kernel"].astype(dt),
                                            p1["bias"], relu=True)
-            feat_t = conv3x3_deint_stream(f1d, p2["kernel"].astype(dt),
-                                          p2["bias"], relu=True)
+            if i8t and self.int8_scales is not None:
+                # Static scales: conv2 quantizes in its epilogue — int8
+                # feat, half the HBM write, no separate quant pass.
+                s_feat = tail_scale("feat", None, 1)
+                feat_q = conv3x3_deint_stream(f1d, p2["kernel"].astype(dt),
+                                              p2["bias"], relu=True,
+                                              out_scale=s_feat)
+                feat_t = None
+            else:
+                feat_t = conv3x3_deint_stream(f1d, p2["kernel"].astype(dt),
+                                              p2["bias"], relu=True)
+                if i8t:
+                    # Calibration / dynamic fallback: measure + quantize
+                    # in XLA (clean crossing both ways).
+                    from transformerupscaler_tpu.ops.quant import (
+                        quantize_act_ch,
+                    )
+
+                    s_feat = tail_scale("feat", feat_t, 1)
+                    feat_q, _ = quantize_act_ch(feat_t,
+                                                jnp.tile(s_feat, 2))
         elif use_pallas:
             featp = conv3x3_packed_stream(feat1, p2["kernel"].astype(dt),
                                           p2["bias"], relu=True)
@@ -424,6 +474,9 @@ class FastTransformer(nn.Module):
                                           pre_q=pq.get(f"tailA_s{scale}"))
         elif fuse_enc:
             pass  # a12 came out of the fused encoder
+        elif i8t:
+            a12 = tail_macro8_stream_int8(feat_q, ka, s_feat, ba,
+                                          relu=True, out_dtype=dt)
         elif pallas_tails:
             a12 = tail_macro8_stream(feat_t, ka, ba, relu=True)
         elif direct_tails:
@@ -435,8 +488,13 @@ class FastTransformer(nn.Module):
         else:
             a12 = conv2d_tail_packed(featp, ka, ba, relu=True, block=blk)
         if pallas_embed:
-            tokens = embed_stream(feat_t, self.patch_embed_kernel,
-                                  self.patch_embed_bias)
+            if i8t:
+                tokens = embed_stream(feat_q, self.patch_embed_kernel,
+                                      self.patch_embed_bias,
+                                      in_scale=s_feat, out_dtype=dt)
+            else:
+                tokens = embed_stream(feat_t, self.patch_embed_kernel,
+                                      self.patch_embed_bias)
         elif i8b:
             # Embed reuses the tail's int8 feature map + scale when the A
             # branch is quantized too; otherwise quantize feat for the embed.
@@ -458,9 +516,17 @@ class FastTransformer(nn.Module):
         dec_deint = use_pallas and not i8b and not direct_tails
         combined_d = None
         if pallas_unembed:
-            combined_d = unembed_combine_stream(
-                tokens, feat_t, self.patch_unembed_kernel,
-                self.patch_unembed_bias)
+            if i8t:
+                # Skip add dequantizes the int8 feat in-kernel — consistent
+                # with what the tail/embed saw; bounded by the combined-
+                # tensor quantization "full" scope applies here anyway.
+                combined_d = unembed_combine_stream(
+                    tokens, feat_q, self.patch_unembed_kernel,
+                    self.patch_unembed_bias, feat_scale=s_feat)
+            else:
+                combined_d = unembed_combine_stream(
+                    tokens, feat_t, self.patch_unembed_kernel,
+                    self.patch_unembed_bias)
             combined = (None if fuse_dec or dec_deint
                         else interleave4(combined_d))
         elif i8b:
@@ -500,10 +566,31 @@ class FastTransformer(nn.Module):
 
             if combined_d is None:  # TUX_PALLAS_PATCH probing fallback
                 combined_d = deinterleave4(combined)
-            dec_d = conv3x3_deint_stream(combined_d,
-                                         pd1["kernel"].astype(dt),
-                                         pd1["bias"], relu=True)
-            b12 = tail_macro8_stream(dec_d, kc, bc)
+            if i8t and self.int8_scales is not None:
+                s_dec = tail_scale("dec", None, 3)
+                dec_q = conv3x3_deint_stream(combined_d,
+                                             pd1["kernel"].astype(dt),
+                                             pd1["bias"], relu=True,
+                                             out_scale=s_dec)
+                b12 = tail_macro8_stream_int8(dec_q, kc, s_dec, bc,
+                                              out_dtype=dt)
+            elif i8t:
+                from transformerupscaler_tpu.ops.quant import (
+                    quantize_act_ch,
+                )
+
+                dec_d = conv3x3_deint_stream(combined_d,
+                                             pd1["kernel"].astype(dt),
+                                             pd1["bias"], relu=True)
+                s_dec = tail_scale("dec", dec_d, 3)
+                dec_q, _ = quantize_act_ch(dec_d, jnp.tile(s_dec, 2))
+                b12 = tail_macro8_stream_int8(dec_q, kc, s_dec, bc,
+                                              out_dtype=dt)
+            else:
+                dec_d = conv3x3_deint_stream(combined_d,
+                                             pd1["kernel"].astype(dt),
+                                             pd1["bias"], relu=True)
+                b12 = tail_macro8_stream(dec_d, kc, bc)
         else:
             if i8b:
                 cq, s3 = act_q("combined", combined, 2)

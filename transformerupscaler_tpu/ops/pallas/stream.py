@@ -206,7 +206,7 @@ def interleave4(xt: jnp.ndarray) -> jnp.ndarray:
     return xt.transpose(0, 1, 3, 2, 4).reshape(b, h, 4 * g, c)
 
 
-def _unembed_kernel(tok, featd, w, bias, out, *, ps, relu):
+def _unembed_kernel(tok, featd, w, bias, *rest, ps, relu, deq):
     """One token row -> ps output rows, directly in deinterleave4 layout.
 
     The 8x8 patch 'scatter' needs NO gather or reshape: with the unembed
@@ -214,14 +214,20 @@ def _unembed_kernel(tok, featd, w, bias, out, *, ps, relu):
     column block (dy*4+px)*128 IS the deinterleaved output row [dy, px] —
     every store a contiguous static (wt, 128) slice.
     """
+    if deq:
+        fs, out = rest
+    else:
+        out, = rest
     dt = out.dtype
     g = jnp.dot(tok[0, 0], w[:], preferred_element_type=jnp.float32)
     bb = bias[0:1, :].astype(jnp.float32)
     for dy in range(ps):
         for px in range(4):
             col = (dy * 4 + px) * 128
-            piece = g[:, col:col + 128] + bb + featd[0, dy, px].astype(
-                jnp.float32)
+            f = featd[0, dy, px].astype(jnp.float32)
+            if deq:
+                f = f * fs[0:1, :]
+            piece = g[:, col:col + 128] + bb + f
             if relu:
                 piece = jnp.maximum(piece, 0.0)
             out[0, dy, px] = piece.astype(dt)
@@ -229,6 +235,7 @@ def _unembed_kernel(tok, featd, w, bias, out, *, ps, relu):
 
 def unembed_combine_stream(tokens: jnp.ndarray, featd: jnp.ndarray,
                            kernel, bias=None, relu: bool = False,
+                           feat_scale=None,
                            interpret: bool | None = None) -> jnp.ndarray:
     """patch_unembed(tokens) + featp fused, emitting deinterleave4 layout.
 
@@ -242,12 +249,18 @@ def unembed_combine_stream(tokens: jnp.ndarray, featd: jnp.ndarray,
     int8 serving frame (tools/int8_stage_bench.py) for a 15 GF GEMM; here
     the scatter is free (see _unembed_kernel) and the combine add rides
     along.
+
+    feat_scale: optional (64,) per-raw-channel scale when ``featd`` is the
+    int8-quantized feature map (the int8 "tails" scope) — the skip add
+    then dequantizes in-kernel (f32 q * s, exactly quantize_act_ch's
+    inverse).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, ht, wt, d = tokens.shape
     dd, ps, _, c = kernel.shape
     dt = tokens.dtype
+    deq = feat_scale is not None
     # Column order (dy, px, parity, ch): packed col t*4 + px holds pixels
     # (2*(t*4+px), 2*(t*4+px)+1) = patch cols px' = 8t + 2px (+1), i.e.
     # within-patch x = 2*px + parity.
@@ -256,17 +269,23 @@ def unembed_combine_stream(tokens: jnp.ndarray, featd: jnp.ndarray,
     bp = jnp.tile(jnp.asarray(bias if bias is not None else
                               jnp.zeros((c,), dt), dt).reshape(1, c),
                   (1, 2))
+    in_specs = [
+        pl.BlockSpec((1, 1, wt, d), lambda nb, i: (nb, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ps, 4, wt, 128),
+                     lambda nb, i: (nb, i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        _wspec(kperm), _wspec(bp),
+    ]
+    args = [tokens, featd, kperm, bp]
+    if deq:
+        fs = jnp.tile(jnp.asarray(feat_scale, jnp.float32), 2).reshape(1, 128)
+        in_specs.append(_wspec(fs))
+        args.append(fs)
     out = pl.pallas_call(
-        partial(_unembed_kernel, ps=ps, relu=relu),
+        partial(_unembed_kernel, ps=ps, relu=relu, deq=deq),
         grid=(b, ht),
-        in_specs=[
-            pl.BlockSpec((1, 1, wt, d), lambda nb, i: (nb, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ps, 4, wt, 128),
-                         lambda nb, i: (nb, i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            _wspec(kperm), _wspec(bp),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, ps, 4, wt, 128),
                                lambda nb, i: (nb, i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -274,26 +293,34 @@ def unembed_combine_stream(tokens: jnp.ndarray, featd: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(tokens, featd, kperm, bp)
+    )(*args)
     return out
 
 
-def _embed_kernel(featd, w, bias, out, *, ps, d):
+def _embed_kernel(featd, w, bias, *rest, ps, d, deq):
     """ps deinterleaved feature rows -> one token row: 4*ps contiguous
     (wt, 128) x (128, D) MXU matmuls (the transpose-free dual of
     _unembed_kernel)."""
+    if deq:
+        fs, out = rest
+    else:
+        out, = rest
     dt = out.dtype
     wt = out.shape[2]
     acc = jnp.zeros((wt, d), jnp.float32)
     for dy in range(ps):
         for px in range(4):
             row = (dy * 4 + px) * 128
-            acc = acc + jnp.dot(featd[0, dy, px], w[row:row + 128, :],
+            f = featd[0, dy, px]
+            if deq:
+                f = (f.astype(jnp.float32) * fs[0:1, :]).astype(dt)
+            acc = acc + jnp.dot(f, w[row:row + 128, :],
                                 preferred_element_type=jnp.float32)
     out[0, 0] = (acc + bias[0:1, :].astype(jnp.float32)).astype(dt)
 
 
 def embed_stream(featd: jnp.ndarray, kernel, bias=None,
+                 in_scale=None, out_dtype=None,
                  interpret: bool | None = None) -> jnp.ndarray:
     """patch_embed reading the deinterleave4 layout, no patch transpose.
 
@@ -301,41 +328,62 @@ def embed_stream(featd: jnp.ndarray, kernel, bias=None,
     weights. Returns tokens (B, Ht, Wt, D). Same reduction set as
     patch_embed_packed (exact modulo bf16 reassociation and f32
     accumulation).
+
+    in_scale: optional (64,) per-raw-channel scale when ``featd`` is
+    int8-quantized (the int8 "tails" scope): the kernel dequantizes each
+    tap (q * s -> compute dtype) before its GEMM, exactly matching
+    quantize_act_ch's inverse followed by the bf16 embed. ``out_dtype``
+    then picks the token dtype (default bfloat16 for int8 inputs).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, h, _, gg, _ = featd.shape
     ps, _, c, d = kernel.shape
     ht, wt = h // ps, gg
-    dt = featd.dtype
+    deq = in_scale is not None
+    dt = out_dtype or (jnp.bfloat16 if featd.dtype == jnp.int8
+                       else featd.dtype)
     # Row order (dy, px, parity, ch), matching the deinterleaved reads.
     kperm = (jnp.asarray(kernel).reshape(ps, ps // 2, 2, c, d)
              .reshape(ps * ps * c, d).astype(dt))
     bp = jnp.asarray(bias if bias is not None else jnp.zeros((d,), dt),
                      dt).reshape(1, d)
+    in_specs = [
+        pl.BlockSpec((1, ps, 4, gg, 128),
+                     lambda nb, i: (nb, i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        _wspec(kperm), _wspec(bp),
+    ]
+    args = [featd, kperm, bp]
+    if deq:
+        fs = jnp.tile(jnp.asarray(in_scale, jnp.float32), 2).reshape(1, 128)
+        in_specs.append(_wspec(fs))
+        args.append(fs)
     out = pl.pallas_call(
-        partial(_embed_kernel, ps=ps, d=d),
+        partial(_embed_kernel, ps=ps, d=d, deq=deq),
         grid=(b, ht),
-        in_specs=[
-            pl.BlockSpec((1, ps, 4, gg, 128),
-                         lambda nb, i: (nb, i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            _wspec(kperm), _wspec(bp),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, wt, d), lambda nb, i: (nb, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, ht, wt, d), dt),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(featd, kperm, bp)
+    )(*args)
     return out
 
 
-def _conv_deint_kernel(cur, above, below, w, bias, out, islab, *, g_img,
-                       rows, relu):
+def _conv_deint_kernel(cur, above, below, w, bias, *rest, g_img,
+                       rows, relu, quant):
     """3x3 conv, deinterleaved in AND out — stage 1 of _conv_tail_kernel
-    as a standalone kernel (no tail, no dslab)."""
+    as a standalone kernel (no tail, no dslab). With ``quant`` the epilogue
+    rounds to int8 against a per-lane inverse scale (static calibration) —
+    the activation-quant pass then costs nothing and the HBM write halves.
+    """
+    if quant:
+        qs, out, islab = rest
+    else:
+        out, islab = rest
     i = pl.program_id(1)
     n = pl.num_programs(1)
     dt = out.dtype
@@ -366,11 +414,14 @@ def _conv_deint_kernel(cur, above, below, w, bias, out, islab, *, g_img,
         acc = acc + bias[0:1, :].astype(jnp.float32)
         if relu:
             acc = jnp.maximum(acc, 0.0)
+        if quant:
+            acc = jnp.clip(jnp.round(acc * qs[0:1, :]), -127, 127)
         out[0, :, j, :, :] = acc.reshape(rows, g_img, 128).astype(dt)
 
 
 def conv3x3_deint_stream(xd: jnp.ndarray, kernel, bias,
                          relu: bool = False, rows: int = 16,
+                         out_scale=None,
                          interpret: bool | None = None) -> jnp.ndarray:
     """conv3x3_packed_stream operating on the deinterleave4 layout.
 
@@ -379,6 +430,12 @@ def conv3x3_deint_stream(xd: jnp.ndarray, kernel, bias,
     interleave4/deinterleave4 transposes around the decoder conv and after
     conv2 (~0.7 ms of pure HBM permutes on the serving frame). Same
     reduction set as conv2d_packed_raw (exact modulo bf16 reassociation).
+
+    out_scale: optional (64,) per-raw-channel static activation scale —
+    the output is then int8, quantized in the kernel epilogue
+    (round(y / s), clip +-127: quantize_act_ch semantics up to the
+    multiply-by-reciprocal rounding at exact ties). Used by the int8
+    "tails" serving scope so the quantize pass fuses into the producer.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -386,6 +443,8 @@ def conv3x3_deint_stream(xd: jnp.ndarray, kernel, bias,
     if h % rows:
         rows = 8
     dt = xd.dtype
+    quant = out_scale is not None
+    odt = jnp.int8 if quant else dt
     w = pack_conv3(kernel).astype(dt)
     bp = jnp.tile(jnp.asarray(bias, jnp.float32).reshape(1, 64), (1, 2)) \
         if bias is not None else jnp.zeros((1, 128), jnp.float32)
@@ -404,19 +463,26 @@ def conv3x3_deint_stream(xd: jnp.ndarray, kernel, bias,
                      memory_space=pltpu.VMEM),
         _wspec(w), _wspec(bp),
     ]
+    args = [xd, xd, xd, w, bp]
+    if quant:
+        qs = (1.0 / jnp.tile(jnp.asarray(out_scale, jnp.float32), 2)
+              ).reshape(1, 128)
+        in_specs.append(_wspec(qs))
+        args.append(qs)
     out = pl.pallas_call(
-        partial(_conv_deint_kernel, g_img=g_img, rows=rows, relu=relu),
+        partial(_conv_deint_kernel, g_img=g_img, rows=rows, relu=relu,
+                quant=quant),
         grid=(b, h // rows),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, rows, 4, g_img, 128),
                                lambda nb, i: (nb, i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, 4, g_img, 128), dt),
+        out_shape=jax.ShapeDtypeStruct((b, h, 4, g_img, 128), odt),
         scratch_shapes=[pltpu.VMEM((rows + 2, 4, g_img + 2, 128), dt)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xd, xd, xd, w, bp)
+    )(*args)
     return out
 
 
@@ -743,4 +809,114 @@ def tail_macro8_stream(xt: jnp.ndarray, kernel, bias=None,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xt, xt, xt, w, bp)
+    return out
+
+
+def _tail_int8_kernel(cur, above, below, w, scale, bias, out, slab, *,
+                      g_img, pad_h, boff, rows, relu):
+    """_tail_kernel with int8 x int8 -> int32 MXU dots (same tap set)."""
+    i = pl.program_id(1)
+    n = pl.num_programs(1)
+    dt = out.dtype
+    kh, wcols, _, nout = w.shape
+    wb = g_img
+
+    slab[:] = jnp.zeros_like(slab)
+    slab[pad_h:pad_h + rows, :, 1:1 + g_img, :] = cur[0]
+
+    @pl.when(i > 0)
+    def _():
+        slab[0:pad_h, :, 1:1 + g_img, :] = above[0, 4 - pad_h:4]
+
+    @pl.when(i < n - 1)
+    def _():
+        slab[pad_h + rows:2 * pad_h + rows, :, 1:1 + g_img, :] = \
+            below[0, 0:pad_h]
+
+    acc = jnp.zeros((rows * wb, nout), jnp.int32)
+    for dy in range(kh):
+        for c in range(wcols):
+            rel = c - boff + 4
+            g0, j = rel // 4, rel % 4
+            piece = slab[dy:dy + rows, j, g0:g0 + wb, :]
+            acc = acc + jnp.dot(piece.reshape(rows * wb, 128), w[dy, c],
+                                preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * scale[0:1, :] + bias[0:1, :]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    out[0] = y.reshape(rows, wb, nout).astype(dt)
+
+
+def tail_macro8_stream_int8(xq: jnp.ndarray, kernel, x_scale, bias=None,
+                            relu: bool = False, out_dtype=jnp.bfloat16,
+                            rows: int = 24,
+                            interpret: bool | None = None) -> jnp.ndarray:
+    """tail_macro8_stream with int8 MXU compute (int8 x int8 -> int32).
+
+    xq: (B, H, 4, G, 128) int8 deinterleaved features, pre-quantized per
+    RAW channel with ``x_scale`` (64,) — e.g. emitted directly by
+    ``conv3x3_deint_stream(out_scale=...)``. kernel: raw float
+    (kh, kw, 64, co) composed tail. The activation scale folds into the
+    kernel before per-output-channel weight quantization (the exact
+    reduction set of ops/conv.conv2d_tail_packed_int8 at block=8, modulo
+    f32 epilogue reassociation).
+
+    Why: the composed tails' macro-8 lane-filling inflates MACs 3.2-3.9x;
+    bf16 pays it (Pallas 0.97/1.69 ms for the 5x5/7x7 tails @720p) while
+    int8's doubled MXU rate absorbs it — and unlike the XLA int8 conv
+    (0.38/0.29 ms standalone) this kernel's input is a Pallas/dot-layout
+    tensor, so no conv-emitter relayout poison (PERFORMANCE.md crossing
+    rule).
+    """
+    from transformerupscaler_tpu.ops.quant import quantize_conv_kernel
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, _, g_img, _ = xq.shape
+    if h % rows:
+        rows = 8
+    kh, kw, cin, co = kernel.shape
+    pad_h = (kh - 1) // 2
+    keff = (jnp.asarray(kernel, jnp.float32)
+            * jnp.asarray(x_scale, jnp.float32).reshape(1, 1, -1, 1))
+    kq, ks = quantize_conv_kernel(keff)
+    # pack_tail_macro8 only repacks +-127 integer entries and zero-fills,
+    # so the int8 round-trip through the packer is lossless.
+    w, boff = pack_tail_macro8(kq)
+    w = w.astype(jnp.int8)
+    sc = jnp.tile(ks.reshape(1, co), (1, 8)).astype(jnp.float32)
+    bp = jnp.tile(
+        jnp.asarray(bias if bias is not None else jnp.zeros((co,)),
+                    jnp.float32).reshape(1, co), (1, 8))
+
+    nr = rows // 4
+    last = h // 4 - 1
+    in_specs = [
+        pl.BlockSpec((1, rows, 4, g_img, 128),
+                     lambda nb, i: (nb, i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4, 4, g_img, 128),
+                     lambda nb, i: (nb, jnp.maximum(i * nr - 1, 0), 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4, 4, g_img, 128),
+                     lambda nb, i: (nb, jnp.minimum(i * nr + nr, last),
+                                    0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        _wspec(w), _wspec(sc), _wspec(bp),
+    ]
+    out = pl.pallas_call(
+        partial(_tail_int8_kernel, g_img=g_img, pad_h=pad_h, boff=boff,
+                rows=rows, relu=relu),
+        grid=(b, h // rows),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, rows, g_img, 8 * co),
+                               lambda nb, i: (nb, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, g_img, 8 * co), out_dtype),
+        scratch_shapes=[pltpu.VMEM((rows + 2 * pad_h, 4, g_img + 2, 128),
+                                   jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xq, xq, xq, w, sc, bp)
     return out
