@@ -280,3 +280,59 @@ def test_unembed_combine_stream_feat_scale(rng):
                                  feat_scale=scl, interpret=True)
     np.testing.assert_allclose(np.asarray(interleave4(got)),
                                np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_global_mha_matches_xla(rng):
+    """ops/pallas/gmha.global_mha == the XLA multihead_attention core at a
+    non-128-multiple token count (exercises the pad/kmask path)."""
+    import jax
+    from transformerupscaler_tpu.ops.attention import multihead_attention
+    from transformerupscaler_tpu.ops.pallas.gmha import global_mha
+
+    b, n, c, heads = 1, 200, 64, 4
+    x = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
+    in_w = jnp.asarray(rng.standard_normal((c, 3 * c)).astype(np.float32)
+                       * 0.1)
+    in_b = jnp.asarray(rng.standard_normal(3 * c).astype(np.float32) * 0.1)
+    out_w = jnp.asarray(rng.standard_normal((c, c)).astype(np.float32) * 0.1)
+    out_b = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+    want = multihead_attention(x, in_w, in_b, out_w, out_b, num_heads=heads)
+    got = multihead_attention(x, in_w, in_b, out_w, out_b, num_heads=heads,
+                              impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_residual_attn_impl_pallas_matches_xla(rng):
+    """ResidualTransformer with attn_impl routed through the Pallas global
+    MHA matches the XLA path at f32 (packed serving geometry)."""
+    import jax
+    from transformerupscaler_tpu.registry import get_model
+
+    key = jax.random.PRNGKey(0)
+    # token_hw must match the input geometry: 64x64 -> /2 -> /8 = (4, 4)
+    kw = dict(dtype=jnp.float32, token_hw=(4, 4), packed_serve=True)
+    x = jax.random.uniform(key, (1, 64, 64, 3), jnp.float32)
+    m_x = get_model("ResidualTransformer", **kw)
+    m_p = get_model("ResidualTransformer", **kw, attn_impl="fused2")
+    params = m_x.init(key, x, res_out=(128, 128))
+    want = np.asarray(m_x.apply(params, x, res_out=(128, 128)))
+    got = np.asarray(m_p.apply(params, x, res_out=(128, 128)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_residual_pallas_serve_matches_xla(rng):
+    """ResidualTransformer pallas_serve (dots conv1 + stream conv2) matches
+    the all-XLA packed path at f32."""
+    import jax
+    from transformerupscaler_tpu.registry import get_model
+
+    key = jax.random.PRNGKey(1)
+    kw = dict(dtype=jnp.float32, token_hw=(4, 4), packed_serve=True)
+    x = jax.random.uniform(key, (1, 64, 64, 3), jnp.float32)
+    m_x = get_model("ResidualTransformer", **kw)
+    m_p = get_model("ResidualTransformer", **kw, pallas_serve=True)
+    params = m_x.init(key, x, res_out=(128, 128))
+    want = np.asarray(m_x.apply(params, x, res_out=(128, 128)))
+    got = np.asarray(m_p.apply(params, x, res_out=(128, 128)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -38,6 +38,7 @@ class GlobalAttentionBlock(nn.Module):
     mlp_ratio: float = 4.0
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -54,6 +55,7 @@ class GlobalAttentionBlock(nn.Module):
             y.astype(self.dtype), in_w.astype(self.dtype), in_b,
             out_w.astype(self.dtype), out_b, num_heads=self.num_heads,
             dropout_rate=self.dropout, deterministic=deterministic, rng=rng,
+            impl=self.attn_impl,
         )
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(d * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
@@ -82,8 +84,19 @@ class ResidualTransformer(nn.Module):
     # reassociation (no composed-tail deviation in this model).
     packed_serve: bool = False
     # Accepted for engine/CLI parity with FastTransformer; packed_serve is
-    # the only serving transform this model has.
+    # the main serving transform this model has.
     compose_tails: bool = False
+    # Pallas stream kernels on the packed path: conv1 as im2col dots (the
+    # clean-layout producer, PERFORMANCE.md crossing rule) and conv2 as the
+    # row-streamed Pallas conv (1.10 vs 1.87 ms XLA @720p). The rest stays
+    # XLA — Pallas outputs feed XLA consumers in the clean direction.
+    pallas_serve: bool = False
+    # Global-attention implementation: "xla" (reference path) or any other
+    # value (serving-only, deterministic) -> the blocked Pallas kernel
+    # (ops/pallas/gmha.py), which keeps the 8 blocks' (8, 3600, 3600)
+    # score tensors out of HBM. Engine/bench pass "fused2" here for
+    # FastTransformer; this model treats every non-"xla" value the same.
+    attn_impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -99,7 +112,8 @@ class ResidualTransformer(nn.Module):
             "pos_embed", nn.initializers.normal(stddev=1.0), (1, n_tokens, td))
         self.blocks = [
             GlobalAttentionBlock(td, self.num_heads, self.mlp_ratio,
-                                 self.dropout, dtype=self.dtype)
+                                 self.dropout, dtype=self.dtype,
+                                 attn_impl=self.attn_impl)
             for _ in range(self.num_transformer_blocks)
         ]
         self.patch_unembed_kernel = self.param(
@@ -184,10 +198,21 @@ class ResidualTransformer(nn.Module):
         p2 = self.conv2.variables["params"]
         pd = self.downsample.variables["params"]
         dt = self.dtype
-        feat1 = conv2d_packed_raw(xp, p1["kernel"].astype(dt), p1["bias"],
-                                  relu=True)
-        featp = conv2d_packed_raw(feat1, p2["kernel"].astype(dt), p2["bias"],
-                                  relu=True)
+        if self.pallas_serve:
+            from transformerupscaler_tpu.ops.conv import conv2d_packed_dots
+            from transformerupscaler_tpu.ops.pallas.stream import (
+                conv3x3_packed_stream,
+            )
+
+            feat1 = conv2d_packed_dots(xp, p1["kernel"].astype(dt),
+                                       p1["bias"], relu=True)
+            featp = conv3x3_packed_stream(feat1, p2["kernel"].astype(dt),
+                                          p2["bias"], relu=True)
+        else:
+            feat1 = conv2d_packed_raw(xp, p1["kernel"].astype(dt),
+                                      p1["bias"], relu=True)
+            featp = conv2d_packed_raw(feat1, p2["kernel"].astype(dt),
+                                      p2["bias"], relu=True)
         downp = conv2d_packed_stride2(featp, pd["kernel"].astype(dt),
                                       pd["bias"])
 

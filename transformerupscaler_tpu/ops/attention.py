@@ -88,13 +88,28 @@ def multihead_attention(
     dropout_rate: float = 0.0,
     deterministic: bool = True,
     rng=None,
+    impl: str = "xla",
 ) -> jnp.ndarray:
     """Self-attention parity with ``nn.MultiheadAttention(batch_first=True)``.
 
     in_w: (C, 3C) packed q/k/v projection (torch in_proj_weight transposed);
     out_w: (C, C).
+
+    impl != "xla" (serving-only) routes the softmax(qk^T)v core through the
+    blocked Pallas kernel (ops/pallas/gmha.py) — at ResidualTransformer's
+    3600 global tokens the XLA path materializes ~0.4 GB of scores per
+    block in HBM; the kernel keeps them in VMEM.
     """
     b, n, c = x.shape
+    if impl != "xla" and deterministic:
+        from transformerupscaler_tpu.ops.pallas.gmha import global_mha
+
+        qkv = (jnp.einsum("bnc,cd->bnd", x, in_w.astype(x.dtype))
+               + in_b.astype(x.dtype))
+        ctx = global_mha(qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:],
+                         num_heads)
+        return (jnp.einsum("bnc,cd->bnd", ctx, out_w.astype(x.dtype))
+                + out_b.astype(x.dtype))
     hd = c // num_heads
     qkv = jnp.einsum("bnc,cd->bnd", x, in_w.astype(x.dtype)) + in_b.astype(x.dtype)
     qkv = qkv.reshape(b, n, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
