@@ -336,3 +336,19 @@ def test_residual_pallas_serve_matches_xla(rng):
     want = np.asarray(m_x.apply(params, x, res_out=(128, 128)))
     got = np.asarray(m_p.apply(params, x, res_out=(128, 128)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_window_pallas_serve_matches_xla(rng):
+    """WindowTransformer pallas_serve encoder matches the plain path."""
+    import jax
+    from transformerupscaler_tpu.registry import get_model
+
+    key = jax.random.PRNGKey(2)
+    x = jax.random.uniform(key, (1, 48, 64, 3), jnp.float32)
+    m_x = get_model("WindowTransformer", dtype=jnp.float32)
+    m_p = get_model("WindowTransformer", dtype=jnp.float32,
+                    pallas_serve=True)
+    params = m_x.init(key, x, res_out=(96, 128))
+    want = np.asarray(m_x.apply(params, x, res_out=(96, 128)))
+    got = np.asarray(m_p.apply(params, x, res_out=(96, 128)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -232,8 +232,27 @@ class ResidualTransformer(nn.Module):
             tokens, self.patch_unembed_kernel, self.patch_unembed_bias)
 
         pc1 = self.decoder_conv1.variables["params"]
-        dec = conv2d_packed_raw(combined, pc1["kernel"].astype(dt),
-                                pc1["bias"], relu=True)
+        if self.pallas_serve:
+            from transformerupscaler_tpu.ops.pallas.stream import (
+                conv3x3_packed_stream,
+            )
+
+            # CAUTION (crossing rule): combined = downp + unembed, and
+            # downp is an XLA conv-emitter output whose layout propagates
+            # through elementwise ops — TUX_RESID_DEC_PALLAS=0 reverts to
+            # the XLA conv if TPU probes show the relayout penalty here.
+            import os as _os
+
+            if _os.environ.get("TUX_RESID_DEC_PALLAS", "1") == "1":
+                dec = conv3x3_packed_stream(combined,
+                                            pc1["kernel"].astype(dt),
+                                            pc1["bias"], relu=True)
+            else:
+                dec = conv2d_packed_raw(combined, pc1["kernel"].astype(dt),
+                                        pc1["bias"], relu=True)
+        else:
+            dec = conv2d_packed_raw(combined, pc1["kernel"].astype(dt),
+                                    pc1["bias"], relu=True)
         # decoder_conv2 is 64->3: tiny FLOPs — unpack (free reshape) and let
         # conv2d's macro routing fill the lanes.
         dec_px = dec.reshape(b, h // 2, w // 2, dec.shape[-1] // 2)

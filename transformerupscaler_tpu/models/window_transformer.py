@@ -38,6 +38,11 @@ class WindowTransformer(nn.Module):
     patch_size: int = 8
     attn_impl: str = "xla"
     int8_mlp: bool = False
+    # Pallas stream kernels for the encoder (serving only): conv1 as
+    # im2col dots + conv2 as the row-streamed Pallas conv on the
+    # width-2-packed layout (a free reshape of NHWC). Exact same math;
+    # gated on base_channels 64 and h % 8 == 0, w % 16 == 0.
+    pallas_serve: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -69,7 +74,26 @@ class WindowTransformer(nn.Module):
 
         upscaled_input = interpolate_bicubic(x, res_out)
 
-        feat = self.conv2(self.conv1(x))
+        b0, h0, w0 = x.shape[:3]
+        if (self.pallas_serve and deterministic
+                and not self.is_initializing() and self.base_channels == 64
+                and h0 % 8 == 0 and w0 % 16 == 0):
+            from transformerupscaler_tpu.ops.conv import conv2d_packed_dots
+            from transformerupscaler_tpu.ops.pallas.stream import (
+                conv3x3_packed_stream,
+            )
+
+            p1 = self.conv1.variables["params"]
+            p2 = self.conv2.variables["params"]
+            xp = x.reshape(b0, h0, w0 // 2, 2 * x.shape[-1])
+            f1 = conv2d_packed_dots(xp, p1["kernel"].astype(self.dtype),
+                                    p1["bias"], relu=True)
+            featp = conv3x3_packed_stream(f1,
+                                          p2["kernel"].astype(self.dtype),
+                                          p2["bias"], relu=True)
+            feat = featp.reshape(b0, h0, w0, self.base_channels)
+        else:
+            feat = self.conv2(self.conv1(x))
         feat_down = self.downsample(feat)
 
         # Patch embed floors non-divisible extents like a strided conv.
