@@ -284,3 +284,31 @@ def test_int8_tails_static_calibration(tmp_path):
     assert scales[0] == (1.0,) and scales[4] == (1.0,)    # unquantized
     y_stat = eng.upscale(img, res_out=(72, 96))
     assert np.abs(y_dyn - y_stat).mean() < 0.01
+
+
+def test_int8_tails_scope_direct_tails_scale6():
+    """Scale 6 routes the tails scope through XLA int8 direct convs
+    (Co=108 >= 64); output stays within quantization error of the f32
+    pallas path."""
+    import jax
+    import jax.numpy as jnp
+    from transformerupscaler_tpu.registry import get_model
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (1, 48, 64, 3), jnp.float32)
+    kw = dict(dtype=jnp.float32, compose_tails=True, pallas_serve=True)
+    m_c = get_model("FastTransformer", **kw)
+    m_t = get_model("FastTransformer", **kw, int8_serve=True,
+                    int8_scope="tails")
+    params = m_c.init(key, x, upscale_factor=6)
+    y_c = np.asarray(m_c.apply(params, x, upscale_factor=6,
+                               require_ratio=False))
+    y_t, inter = jax.jit(lambda p, v: m_t.apply(
+        p, v, upscale_factor=6, require_ratio=False,
+        mutable=["intermediates"]))(params, x)
+    e = np.abs(np.asarray(y_t) - y_c)
+    assert e.mean() > 0
+    assert e.mean() < 5e-3, e.mean()
+    # both tail groups sowed scales (feat + dec)
+    raw = inter["intermediates"]
+    assert "int8_scale_feat" in raw and "int8_scale_dec" in raw

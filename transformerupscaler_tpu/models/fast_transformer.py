@@ -353,8 +353,12 @@ class FastTransformer(nn.Module):
         pallas_tails = use_pallas and not direct_tails
         # The tails scope needs the full deint pipeline: Pallas tails AND
         # both patch kernels reading the (possibly int8) deint feature map.
-        # Outside it (no pallas, scale-6 direct tails, non-8 patch) the
-        # tails quantize nothing — serve plain bf16.
+        # Direct tails (Co >= 64, scale 6) instead run as XLA int8 convs —
+        # the Pallas conv producers feed them in the clean direction and
+        # the ~1.2 TF of tail FLOPs is where int8's MXU rate pays.
+        # Outside both (no pallas, non-8 patch) the tails quantize
+        # nothing — serve plain bf16.
+        i8dt = i8t and use_pallas and direct_tails
         i8t = i8t and pallas_tails and pallas_patch
         pallas_embed = pallas_patch and ("embed" in _pp or i8t)
         pallas_unembed = pallas_patch and ("unembed" in _pp or i8t)
@@ -479,6 +483,13 @@ class FastTransformer(nn.Module):
                                           relu=True, out_dtype=dt)
         elif pallas_tails:
             a12 = tail_macro8_stream(feat_t, ka, ba, relu=True)
+        elif i8dt:
+            from transformerupscaler_tpu.ops.conv import conv2d_int8
+
+            fq, s2 = act_q("feat", featp, 1)
+            a12 = conv2d_int8(fq.reshape(b, h, w, -1), ka, s2, ba,
+                              padding=(ka.shape[0] - 1) // 2, relu=True,
+                              out_dtype=dt)
         elif direct_tails:
             from transformerupscaler_tpu.ops.conv import conv2d
 
@@ -613,6 +624,13 @@ class FastTransformer(nn.Module):
                 dq, s4 = act_q("dec", dec, 3)
                 b12 = conv2d_tail_packed_int8(dq, kc, s4, bc, out_dtype=dt,
                                               block=blk)
+            elif i8dt:
+                from transformerupscaler_tpu.ops.conv import conv2d_int8
+
+                dq, s4 = act_q("dec", dec, 3)
+                b12 = conv2d_int8(dq.reshape(b, h, w, -1), kc, s4, bc,
+                                  padding=(kc.shape[0] - 1) // 2,
+                                  out_dtype=dt)
             elif direct_tails:
                 from transformerupscaler_tpu.ops.conv import conv2d
 

@@ -295,6 +295,40 @@ def conv2d_packed_int8(xq: jnp.ndarray, kernel: jnp.ndarray,
     return y.astype(out_dtype)
 
 
+def conv2d_int8(xq: jnp.ndarray, kernel: jnp.ndarray, x_scale,
+                bias: jnp.ndarray | None = None, padding: int = 0,
+                relu: bool = False,
+                out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Direct NHWC int8 conv (int8 x int8 -> int32 MXU).
+
+    xq: (B, H, W, Cin) int8 pre-quantized per input channel with
+    ``x_scale`` (Cin,); kernel: raw float HWIO. The activation scale folds
+    into the kernel before per-output-channel weight quantization (same
+    recipe as conv2d_packed_int8). Used for the large-channel composed
+    tails (Co >= 64, e.g. scale 6's 64->108) where the packed forms add
+    MAC inflation for no lane gain and int8's doubled MXU rate is the only
+    remaining lever — the tails are ~1.2 TF real work per 720p frame at
+    scale 6 (PERFORMANCE.md).
+    """
+    from transformerupscaler_tpu.ops.quant import quantize_conv_kernel
+
+    keff = (kernel.astype(jnp.float32)
+            * jnp.asarray(x_scale, jnp.float32).reshape(1, 1, -1, 1))
+    kq, ks = quantize_conv_kernel(keff)
+    dn = lax.conv_dimension_numbers(xq.shape, kq.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    acc = lax.conv_general_dilated(
+        xq, kq, (1, 1), ((padding, padding), (padding, padding)),
+        dimension_numbers=dn, preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * ks
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(out_dtype)
+
+
 def conv2d_tail_packed_int8(xq: jnp.ndarray, kernel: jnp.ndarray,
                             x_scale, bias: jnp.ndarray | None = None,
                             relu: bool = False,
