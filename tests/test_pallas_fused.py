@@ -61,6 +61,31 @@ def test_fused_trunk_v2_matches_xla_blocks(rng):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_fused_trunk_v2_paired_matches_xla_blocks(rng):
+    """Window-paired attention (block-diagonal K/V pairing) is exact: the
+    zero blocks kill every cross-window term, so outputs must match the
+    XLA block loop at the same tolerance as the unpaired kernel."""
+    from transformerupscaler_tpu.models.common import WindowBlock
+    from transformerupscaler_tpu.ops.pallas.trunk2 import fused_window_trunk_v2
+
+    key = jax.random.PRNGKey(11)
+    win = jax.random.uniform(key, (10, 64, 192), jnp.float32)
+    blocks = [WindowBlock(192, 8, 12, dropout=0.0, dtype=jnp.float32)
+              for _ in range(2)]
+    params, outs = [], win
+    for i, blk in enumerate(blocks):
+        p = blk.init(jax.random.PRNGKey(i), outs)
+        outs = blk.apply(p, outs)
+        params.append(p["params"])
+
+    # wpc=4 covers pad (10 % 4), wpc=5 covers the odd-wpc bump (5 -> 6).
+    for wpc in (4, 5):
+        got = fused_window_trunk_v2(win, params, num_heads=12, window_size=8,
+                                    windows_per_cell=wpc, pair=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(outs),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_model_attn_impl_fused2_matches_xla():
     """attn_impl='fused2' routes the whole trunk through the v2 megakernel;
     model output must match the XLA block loop."""

@@ -100,20 +100,110 @@ def _trunk2_kernel(x_ref, mask_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
     out_ref[:] = x.reshape(wpc, n, c)
 
 
+def _trunk2_pair_kernel(x_ref, mask2_ref, bdiag_ref, ln1s, ln1b, qkvw, qkvb,
+                        projw, projb, ln2s, ln2b, fc1w, fc1b, fc2w, fc2b,
+                        bias2_ref, out_ref, *, layers, heads, n, wpc):
+    """Window-PAIRED attention variant of _trunk2_kernel.
+
+    The per-window score/context dots waste MXU tiles: the score output has
+    only n=64 useful lanes (one 128-lane tile half empty) and the c=192
+    contraction pads to 2 depth tiles. Pairing two windows per dot fills
+    both: scores become ONE (heads*n, 2c) x (2c, 2n) product against a
+    block-diagonal key matrix (window 0's keys live in contraction block
+    [0, c) / lane block [0, n), window 1's in [c, 2c) / [n, 2n) — the zero
+    blocks kill every cross-window term), and contexts the mirrored
+    (heads*n, 2n) x (2n, 2c) product. Per window-layer the attention MXU
+    tile passes drop 24 -> 18 (scores 6x2x1 -> 6x3x1/2, ctx likewise);
+    the price is VPU assembly (block-diag tile+mask builds, a lane-split
+    reshape for the per-window softmax) — measured on-device before
+    shipping (tools/trunk_bench.py).
+
+    mask2_ref: (heads*n, 2c) head mask tiled twice along lanes.
+    bdiag_ref: (2n, 2c) window block-diagonal mask.
+    bias2_ref: (L, heads*n, 2n) relative bias tiled twice along columns.
+    """
+    c = x_ref.shape[-1]
+    t = wpc * n
+    dt = x_ref.dtype
+    scale = jnp.asarray((c // heads) ** -0.5, dt)
+    mask2 = mask2_ref[:]   # (heads*n, 2c)
+    bdiag = bdiag_ref[:]   # (2n, 2c)
+
+    x = x_ref[:].reshape(t, c)
+    for l in range(layers):
+        y = _layernorm(x, ln1s[l], ln1b[l]).astype(dt)
+        qkv = (jnp.dot(y, qkvw[l], preferred_element_type=jnp.float32)
+               .astype(dt) + qkvb[l]).reshape(wpc, n, 3 * c)
+        bias2_l = bias2_ref[l]  # (heads*n, 2n) f32
+        probs = []
+        for w in range(0, wpc, 2):  # static unroll over window pairs
+            # q lane-concat: (n, 2c) with window w in lanes [0, c),
+            # window w+1 in [c, 2c).
+            qcat = jnp.concatenate(
+                [qkv[w, :, 0:c], qkv[w + 1, :, 0:c]], axis=1) * scale
+            qp2 = (jnp.broadcast_to(qcat[None], (heads, n, 2 * c))
+                   .reshape(heads * n, 2 * c) * mask2)
+            # keys row-stacked (2n, c), tiled to (2n, 2c), block-diag masked.
+            kcat = jnp.concatenate(
+                [qkv[w, :, c:2 * c], qkv[w + 1, :, c:2 * c]], axis=0)
+            k2 = jnp.concatenate([kcat, kcat], axis=1) * bdiag
+            s2 = jax.lax.dot_general(
+                qp2, k2, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (heads*n, 2n)
+            probs.append(s2 + bias2_l)
+        ss = jnp.stack(probs)  # (wpc/2, heads*n, 2n) f32
+        # per-WINDOW softmax: split the 2n lane dim into (2, n) segments.
+        s3 = ss.reshape(wpc // 2, heads * n, 2, n)
+        m = jnp.max(s3, axis=-1, keepdims=True)
+        p3 = jnp.exp(s3 - m)
+        p3 = p3 / jnp.sum(p3, axis=-1, keepdims=True)
+        pp = p3.reshape(wpc // 2, heads * n, 2 * n).astype(dt)
+        ctxs = []
+        for i, w in enumerate(range(0, wpc, 2)):
+            vcat = jnp.concatenate(
+                [qkv[w, :, 2 * c:3 * c], qkv[w + 1, :, 2 * c:3 * c]], axis=0)
+            v2 = jnp.concatenate([vcat, vcat], axis=1) * bdiag  # (2n, 2c)
+            o = jnp.dot(pp[i], v2,
+                        preferred_element_type=jnp.float32).astype(dt)
+            # block-diagonal head extraction (trunk2 ctxs logic), both
+            # windows at once: (heads*n, 2c) -> (n, 2c) = [ctx_w | ctx_w1].
+            oc = jnp.sum((o * mask2).reshape(heads, n, 2 * c), axis=0)
+            ctxs.append(jnp.concatenate([oc[:, 0:c], oc[:, c:2 * c]], axis=0))
+        attn = jnp.concatenate(ctxs, axis=0)  # (t, c)
+        x = x + (jnp.dot(attn, projw[l], preferred_element_type=jnp.float32)
+                 .astype(dt) + projb[l])
+        y2 = _layernorm(x, ln2s[l], ln2b[l]).astype(dt)
+        h1 = (jnp.dot(y2, fc1w[l], preferred_element_type=jnp.float32)
+              .astype(dt) + fc1b[l])
+        h1 = _gelu_exact(h1)
+        x = x + (jnp.dot(h1, fc2w[l], preferred_element_type=jnp.float32)
+                 .astype(dt) + fc2b[l])
+
+    out_ref[:] = x.reshape(wpc, n, c)
+
+
 def fused_window_trunk_v2(win: jnp.ndarray, block_params: list[dict],
                           num_heads: int, window_size: int,
                           windows_per_cell: int = 16,
+                          pair: bool | None = None,
                           interpret: bool | None = None) -> jnp.ndarray:
     """win: (nW, ws*ws, C) window tokens -> same shape after all blocks.
 
     block_params: per-block WindowBlock param trees (see trunk.py).
+    pair: run the window-paired attention variant (_trunk2_pair_kernel);
+    default reads TUX_TRUNK_PAIR (off until measured on-device).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if pair is None:
+        import os
+        pair = os.environ.get("TUX_TRUNK_PAIR", "0") == "1"
     nw, n, c = win.shape
     dt = win.dtype
     layers = len(block_params)
     wpc = min(windows_per_cell, nw)
+    if pair and wpc % 2:
+        wpc += 1  # paired kernel consumes windows two at a time
     pad = (wpc - nw % wpc) % wpc
     if pad:
         win = jnp.pad(win, ((0, pad), (0, 0), (0, 0)))
@@ -154,6 +244,43 @@ def fused_window_trunk_v2(win: jnp.ndarray, block_params: list[dict],
         return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                             memory_space=pltpu.VMEM)
 
+    weight_ins = [
+        spec3(ln1s), spec3(ln1b), spec3(qkvw), spec3(qkvb),
+        spec3(projw), spec3(projb), spec3(ln2s), spec3(ln2b),
+        spec3(fc1w), spec3(fc1b), spec3(fc2w), spec3(fc2b),
+    ]
+    weights = (ln1s, ln1b, qkvw, qkvb, projw, projb, ln2s, ln2b,
+               fc1w, fc1b, fc2w, fc2b)
+
+    if pair:
+        mask2 = jnp.concatenate([mask, mask], axis=1)   # (heads*n, 2c)
+        bd = np.zeros((2 * n, 2 * c), np.float32)
+        bd[:n, :c] = 1.0
+        bd[n:, c:] = 1.0
+        bdiag = jnp.asarray(bd, dt)
+        bias2 = jnp.concatenate([bias, bias], axis=2)   # (L, heads*n, 2n)
+        out = pl.pallas_call(
+            partial(_trunk2_pair_kernel, layers=layers, heads=num_heads,
+                    n=n, wpc=wpc),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((wpc, n, c), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((num_heads * n, 2 * c), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2 * n, 2 * c), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                *weight_ins, spec3(bias2),
+            ],
+            out_specs=pl.BlockSpec((wpc, n, c), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nw + pad, n, c), dt),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(win, mask2, bdiag, *weights, bias2)
+        return out[:nw] if pad else out
+
     out = pl.pallas_call(
         partial(_trunk2_kernel, layers=layers, heads=num_heads, n=n,
                 wpc=wpc),
@@ -163,9 +290,7 @@ def fused_window_trunk_v2(win: jnp.ndarray, block_params: list[dict],
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_heads * n, c), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            spec3(ln1s), spec3(ln1b), spec3(qkvw), spec3(qkvb),
-            spec3(projw), spec3(projb), spec3(ln2s), spec3(ln2b),
-            spec3(fc1w), spec3(fc1b), spec3(fc2w), spec3(fc2b), spec3(bias),
+            *weight_ins, spec3(bias),
         ],
         out_specs=pl.BlockSpec((wpc, n, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
