@@ -123,7 +123,7 @@ def main():
         qkv0 = jax.random.uniform(key, (240, ws * ws, 3 * d), dt)
         probe("attention core (split+scores+softmax+out)", core, pp, qkv0,
               K, log=print)
-    if which & {"v1", "v2", "v2sweep"}:
+    if which & {"v1", "v2", "v2sweep", "pair"}:
         from transformerupscaler_tpu.ops.pallas.trunk import (
             fused_window_trunk,
         )
@@ -141,6 +141,20 @@ def main():
                   lambda p, w: fused_window_trunk_v2(
                       w, params6, heads, ws, windows_per_cell=wpc),
                   None, win240, K, log=print)
+        if "pair" in which:
+            # paired vs unpaired at the same wpc, same process (the only
+            # trustworthy comparison; cross-process variance ~±0.3 ms).
+            for wp in (8, 16, 24):
+                probe(f"fused trunk v2 UNpaired wpc={wp}",
+                      lambda p, w, wp=wp: fused_window_trunk_v2(
+                          w, params6, heads, ws, windows_per_cell=wp,
+                          pair=False),
+                      None, win240, K, log=print)
+                probe(f"fused trunk v2 PAIRED   wpc={wp}",
+                      lambda p, w, wp=wp: fused_window_trunk_v2(
+                          w, params6, heads, ws, windows_per_cell=wp,
+                          pair=True),
+                      None, win240, K, log=print)
         if "v2sweep" in which:
             for wp in (4, 6, 10, 12, 16, 24):
                 probe(f"fused trunk v2 wpc={wp}",
