@@ -86,6 +86,45 @@ def test_fused_trunk_v2_paired_matches_xla_blocks(rng):
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_fused_trunk_v2_int8_gemms_close_to_f32(rng):
+    """int8 GEMMs inside the paired kernel: with safely-wide act scales the
+    output stays within quantization noise of the XLA block loop — a
+    wiring test (a transposed scale or missing fold blows up by orders of
+    magnitude), not a quality gate (tools/int8_quality.py is that)."""
+    from transformerupscaler_tpu.models.common import WindowBlock
+    from transformerupscaler_tpu.ops.pallas.trunk2 import fused_window_trunk_v2
+
+    key = jax.random.PRNGKey(13)
+    win = jax.random.uniform(key, (8, 64, 192), jnp.float32)
+    blocks = [WindowBlock(192, 8, 12, dropout=0.0, dtype=jnp.float32)
+              for _ in range(2)]
+    params, outs = [], win
+    for i, blk in enumerate(blocks):
+        p = blk.init(jax.random.PRNGKey(i), outs)
+        outs = blk.apply(p, outs)
+        params.append(p["params"])
+
+    L = len(params)
+
+    def run(s):
+        int8_acts = (np.full((L, 192), s, np.float32),
+                     np.full((L, 192), s, np.float32),
+                     np.full((L, 192), s, np.float32),
+                     np.full((L, 768), s, np.float32))
+        got = fused_window_trunk_v2(win, params, num_heads=12, window_size=8,
+                                    windows_per_cell=4, int8_acts=int8_acts)
+        return np.max(np.abs(np.asarray(got) - np.asarray(outs)))
+
+    # measured curve (see commit): U-shaped in the act scale — grid noise
+    # grows ~2x per scale doubling above the optimum, clipping below it.
+    err4, err16 = run(4.0), run(16.0)
+    assert err4 < 0.3, f"int8 trunk error {err4} — scale wiring broken"
+    assert err4 > 1e-6  # the int8 path really ran
+    assert err16 > 2.0 * err4, (
+        f"coarser act grid did not increase error ({err4} vs {err16}) — "
+        "act scales are not reaching the kernel")
+
+
 def test_model_attn_impl_fused2_matches_xla():
     """attn_impl='fused2' routes the whole trunk through the v2 megakernel;
     model output must match the XLA block loop."""

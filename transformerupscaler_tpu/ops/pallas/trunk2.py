@@ -102,7 +102,8 @@ def _trunk2_kernel(x_ref, mask_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
 
 def _trunk2_pair_kernel(x_ref, mask2_ref, bdiag_ref, ln1s, ln1b, qkvw, qkvb,
                         projw, projb, ln2s, ln2b, fc1w, fc1b, fc2w, fc2b,
-                        bias2_ref, out_ref, *, layers, heads, n, wpc):
+                        bias2_ref, *rest, layers, heads, n, wpc,
+                        int8_gemms=False):
     """Window-PAIRED attention variant of _trunk2_kernel.
 
     The per-window score/context dots waste MXU tiles: the score output has
@@ -121,7 +122,20 @@ def _trunk2_pair_kernel(x_ref, mask2_ref, bdiag_ref, ln1s, ln1b, qkvw, qkvb,
     mask2_ref: (heads*n, 2c) head mask tiled twice along lanes.
     bdiag_ref: (2n, 2c) window block-diagonal mask.
     bias2_ref: (L, heads*n, 2n) relative bias tiled twice along columns.
+
+    int8_gemms: the four per-layer GEMMs run as int8 x int8 -> int32 MXU
+    dots (v5e int8 MXU is 2x bf16 per pass). ``rest`` then carries the
+    dequant scales (L, 1, out) f32 and activation inverse-scales (L, 1, in)
+    f32 for qkv/proj/fc1/fc2; the weight refs hold PRE-QUANTIZED int8
+    weights with the per-in-channel act scales folded in (exact — the
+    finer act grid costs nothing at runtime, same trick as the int8 conv
+    path). Attention (scores/softmax/context) stays bf16/f32.
     """
+    if int8_gemms:
+        (qkv_sw, proj_sw, fc1_sw, fc2_sw,
+         qkv_ia, proj_ia, fc1_ia, fc2_ia, out_ref) = rest
+    else:
+        (out_ref,) = rest
     c = x_ref.shape[-1]
     t = wpc * n
     dt = x_ref.dtype
@@ -129,10 +143,22 @@ def _trunk2_pair_kernel(x_ref, mask2_ref, bdiag_ref, ln1s, ln1b, qkvw, qkvb,
     mask2 = mask2_ref[:]   # (heads*n, 2c)
     bdiag = bdiag_ref[:]   # (2n, 2c)
 
+    def gemm(xv, w_l, sw_l=None, ia_l=None):
+        if not int8_gemms:
+            return jnp.dot(xv, w_l,
+                           preferred_element_type=jnp.float32)
+        xq = jnp.clip(jnp.round(xv.astype(jnp.float32) * ia_l),
+                      -127.0, 127.0).astype(jnp.int8)
+        y32 = jax.lax.dot_general(xq, w_l, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        return y32.astype(jnp.float32) * sw_l
+
     x = x_ref[:].reshape(t, c)
     for l in range(layers):
         y = _layernorm(x, ln1s[l], ln1b[l]).astype(dt)
-        qkv = (jnp.dot(y, qkvw[l], preferred_element_type=jnp.float32)
+        qkv = (gemm(y, qkvw[l],
+                    qkv_sw[l] if int8_gemms else None,
+                    qkv_ia[l] if int8_gemms else None)
                .astype(dt) + qkvb[l]).reshape(wpc, n, 3 * c)
         bias2_l = bias2_ref[l]  # (heads*n, 2n) f32
         probs = []
@@ -170,34 +196,64 @@ def _trunk2_pair_kernel(x_ref, mask2_ref, bdiag_ref, ln1s, ln1b, qkvw, qkvb,
             oc = jnp.sum((o * mask2).reshape(heads, n, 2 * c), axis=0)
             ctxs.append(jnp.concatenate([oc[:, 0:c], oc[:, c:2 * c]], axis=0))
         attn = jnp.concatenate(ctxs, axis=0)  # (t, c)
-        x = x + (jnp.dot(attn, projw[l], preferred_element_type=jnp.float32)
+        x = x + (gemm(attn, projw[l],
+                      proj_sw[l] if int8_gemms else None,
+                      proj_ia[l] if int8_gemms else None)
                  .astype(dt) + projb[l])
         y2 = _layernorm(x, ln2s[l], ln2b[l]).astype(dt)
-        h1 = (jnp.dot(y2, fc1w[l], preferred_element_type=jnp.float32)
+        h1 = (gemm(y2, fc1w[l],
+                   fc1_sw[l] if int8_gemms else None,
+                   fc1_ia[l] if int8_gemms else None)
               .astype(dt) + fc1b[l])
         h1 = _gelu_exact(h1)
-        x = x + (jnp.dot(h1, fc2w[l], preferred_element_type=jnp.float32)
+        x = x + (gemm(h1, fc2w[l],
+                      fc2_sw[l] if int8_gemms else None,
+                      fc2_ia[l] if int8_gemms else None)
                  .astype(dt) + fc2b[l])
 
     out_ref[:] = x.reshape(wpc, n, c)
+
+
+def quantize_gemm_weights(wstack: jnp.ndarray, s_in: jnp.ndarray):
+    """Per-out-channel int8 quantization of stacked (L, k, n) GEMM weights
+    with per-in-channel activation scales folded in (exact fold: the act
+    quantize uses 1/s_in per channel, the weight absorbs s_in — same trick
+    as ops/quant's conv path).
+
+    Returns (wq int8 (L,k,n), sw f32 (L,1,n) dequant scales,
+    ia f32 (L,1,k) activation inverse-scales)."""
+    wf = wstack.astype(jnp.float32) * s_in[:, :, None]
+    sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=1, keepdims=True) / 127.0,
+                     1e-8)
+    wq = jnp.clip(jnp.round(wf / sw), -127, 127).astype(jnp.int8)
+    # act quantize: xq = round(x / s_in * 127); the int32 dot then carries
+    # a 127/sw factor, so the dequant scale is sw / 127.
+    ia = (127.0 / jnp.maximum(s_in, 1e-8))[:, None, :]
+    return wq, sw / 127.0, ia
 
 
 def fused_window_trunk_v2(win: jnp.ndarray, block_params: list[dict],
                           num_heads: int, window_size: int,
                           windows_per_cell: int = 16,
                           pair: bool | None = None,
+                          int8_acts=None,
                           interpret: bool | None = None) -> jnp.ndarray:
     """win: (nW, ws*ws, C) window tokens -> same shape after all blocks.
 
     block_params: per-block WindowBlock param trees (see trunk.py).
     pair: run the window-paired attention variant (_trunk2_pair_kernel);
     default reads TUX_TRUNK_PAIR (off until measured on-device).
+    int8_acts: optional (s_qkv (L,c), s_proj (L,c), s_fc1 (L,c),
+    s_fc2 (L,4c)) f32 per-in-channel activation scales — runs the four
+    GEMMs as int8 MXU dots inside the paired kernel (implies pair).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if pair is None:
         import os
         pair = os.environ.get("TUX_TRUNK_PAIR", "0") == "1"
+    if int8_acts is not None:
+        pair = True
     nw, n, c = win.shape
     dt = win.dtype
     layers = len(block_params)
@@ -259,9 +315,23 @@ def fused_window_trunk_v2(win: jnp.ndarray, block_params: list[dict],
         bd[n:, c:] = 1.0
         bdiag = jnp.asarray(bd, dt)
         bias2 = jnp.concatenate([bias, bias], axis=2)   # (L, heads*n, 2n)
+        extra, extra_ins = (), []
+        int8_gemms = int8_acts is not None
+        if int8_gemms:
+            ws = list(weights)
+            scales = []
+            for wi, s_in in zip((2, 4, 8, 10), int8_acts):  # qkvw/projw/fc1w/fc2w
+                wq, sw, ia = quantize_gemm_weights(ws[wi], jnp.asarray(
+                    s_in, jnp.float32))
+                ws[wi] = wq
+                scales.append((sw, ia))
+            weights = tuple(ws)
+            weight_ins = [spec3(w) for w in weights]
+            extra = tuple(s[0] for s in scales) + tuple(s[1] for s in scales)
+            extra_ins = [spec3(a) for a in extra]
         out = pl.pallas_call(
             partial(_trunk2_pair_kernel, layers=layers, heads=num_heads,
-                    n=n, wpc=wpc),
+                    n=n, wpc=wpc, int8_gemms=int8_gemms),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((wpc, n, c), lambda i: (i, 0, 0),
@@ -270,7 +340,7 @@ def fused_window_trunk_v2(win: jnp.ndarray, block_params: list[dict],
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((2 * n, 2 * c), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                *weight_ins, spec3(bias2),
+                *weight_ins, spec3(bias2), *extra_ins,
             ],
             out_specs=pl.BlockSpec((wpc, n, c), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
@@ -278,7 +348,7 @@ def fused_window_trunk_v2(win: jnp.ndarray, block_params: list[dict],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(win, mask2, bdiag, *weights, bias2)
+        )(win, mask2, bdiag, *weights, bias2, *extra)
         return out[:nw] if pad else out
 
     out = pl.pallas_call(
