@@ -123,7 +123,7 @@ def main():
         qkv0 = jax.random.uniform(key, (240, ws * ws, 3 * d), dt)
         probe("attention core (split+scores+softmax+out)", core, pp, qkv0,
               K, log=print)
-    if which & {"v1", "v2", "v2sweep", "pair"}:
+    if which & {"v1", "v2", "v2sweep", "pair", "pairint8"}:
         from transformerupscaler_tpu.ops.pallas.trunk import (
             fused_window_trunk,
         )
@@ -154,6 +154,18 @@ def main():
                       lambda p, w, wp=wp: fused_window_trunk_v2(
                           w, params6, heads, ws, windows_per_cell=wp,
                           pair=True),
+                      None, win240, K, log=print)
+        if "pairint8" in which:
+            import numpy as _np
+            ia = (_np.full((6, d), 4.0, _np.float32),
+                  _np.full((6, d), 4.0, _np.float32),
+                  _np.full((6, d), 4.0, _np.float32),
+                  _np.full((6, 4 * d), 4.0, _np.float32))
+            for wp in (16, 24):
+                probe(f"fused trunk v2 PAIR+INT8 wpc={wp}",
+                      lambda p, w, wp=wp: fused_window_trunk_v2(
+                          w, params6, heads, ws, windows_per_cell=wp,
+                          int8_acts=ia),
                       None, win240, K, log=print)
         if "v2sweep" in which:
             for wp in (4, 6, 10, 12, 16, 24):
