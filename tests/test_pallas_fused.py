@@ -125,6 +125,62 @@ def test_fused_trunk_v2_int8_gemms_close_to_f32(rng):
         "act scales are not reaching the kernel")
 
 
+def test_trunk_int8_calibrated_scales(rng):
+    """calib_trunk_int8 sows per-channel GEMM-input maxes; feeding the
+    harvested scales into the int8 paired trunk must beat naive constant
+    scales (the whole point of per-channel calibration)."""
+    from transformerupscaler_tpu.models.common import WindowBlock
+    from transformerupscaler_tpu.ops.pallas.trunk2 import fused_window_trunk_v2
+
+    key = jax.random.PRNGKey(17)
+    win = jax.random.uniform(key, (8, 64, 192), jnp.float32)
+    blocks = [WindowBlock(192, 8, 12, dropout=0.0, dtype=jnp.float32)
+              for _ in range(2)]
+    calib_blocks = [WindowBlock(192, 8, 12, dropout=0.0, dtype=jnp.float32,
+                                calib_trunk_int8=True) for _ in range(2)]
+    params, outs = [], win
+    scales = {"qkv": [], "proj": [], "fc1": [], "fc2": []}
+    for i, (blk, cblk) in enumerate(zip(blocks, calib_blocks)):
+        p = blk.init(jax.random.PRNGKey(i), outs)
+        got, inter = cblk.apply(p, outs, mutable=["intermediates"])
+        ii = inter["intermediates"]
+        scales["qkv"].append(np.asarray(ii["trunk_i8_qkv"][0]))
+        scales["proj"].append(np.asarray(ii["attn"]["trunk_i8_proj"][0]))
+        scales["fc1"].append(np.asarray(ii["trunk_i8_fc1"][0]))
+        scales["fc2"].append(np.asarray(ii["trunk_i8_fc2"][0]))
+        outs = blk.apply(p, outs)
+        # the calibration pass must not perturb the block output
+        np.testing.assert_allclose(np.asarray(got), np.asarray(outs),
+                                   rtol=1e-6, atol=1e-6)
+        params.append(p["params"])
+
+    int8_acts = tuple(np.stack(scales[k]).astype(np.float32)
+                      for k in ("qkv", "proj", "fc1", "fc2"))
+    got = fused_window_trunk_v2(win, params, num_heads=12, window_size=8,
+                                windows_per_cell=4, int8_acts=int8_acts)
+    err_cal = np.max(np.abs(np.asarray(got) - np.asarray(outs)))
+
+    naive = (np.full((2, 192), 8.0, np.float32),
+             np.full((2, 192), 8.0, np.float32),
+             np.full((2, 192), 8.0, np.float32),
+             np.full((2, 768), 8.0, np.float32))
+    got_n = fused_window_trunk_v2(win, params, num_heads=12, window_size=8,
+                                  windows_per_cell=4, int8_acts=naive)
+    err_naive = np.max(np.abs(np.asarray(got_n) - np.asarray(outs)))
+    assert err_cal < err_naive, (err_cal, err_naive)
+    assert err_cal < 0.2, f"calibrated int8 trunk max error {err_cal}"
+
+    # Dynamic per-row act scales (no calibration) must beat per-channel
+    # static calibration: LN inputs are channel-homogeneous, so the win
+    # comes from per-token grids.
+    got_r = fused_window_trunk_v2(win, params, num_heads=12, window_size=8,
+                                  windows_per_cell=4, int8_acts="rowwise")
+    err_row = np.max(np.abs(np.asarray(got_r) - np.asarray(outs)))
+    rms_row = np.sqrt(np.mean((np.asarray(got_r) - np.asarray(outs)) ** 2))
+    assert err_row < err_cal, (err_row, err_cal)
+    assert rms_row < 0.025, f"rowwise int8 trunk rms {rms_row}"
+
+
 def test_model_attn_impl_fused2_matches_xla():
     """attn_impl='fused2' routes the whole trunk through the v2 megakernel;
     model output must match the XLA block loop."""

@@ -85,6 +85,7 @@ class WindowAttentionLayer(nn.Module):
     num_heads: int
     dropout: float = 0.0
     impl: str = "xla"
+    calib_int8: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -98,6 +99,16 @@ class WindowAttentionLayer(nn.Module):
             "bias_table", _table_init,
             ((2 * self.window_size - 1) ** 2, self.num_heads),
         )
+        if self.calib_int8 and not self.is_initializing():
+            # proj's input (softmax-weighted V) is a per-head convex
+            # combination of v rows, so per-channel max|v| bounds it —
+            # harvested with one calibration-only GEMM.
+            qkv = (x.astype(self.dtype) @ qkv_w.astype(self.dtype)
+                   + qkv_b).astype(jnp.float32)
+            v = qkv[..., 2 * d:3 * d]
+            red = tuple(range(v.ndim - 1))
+            self.sow("intermediates", "trunk_i8_proj",
+                     jnp.max(jnp.abs(v), axis=red))
         rng = None
         if not deterministic and self.dropout > 0.0:
             rng = self.make_rng("dropout")
@@ -123,22 +134,37 @@ class WindowBlock(nn.Module):
     dropout: float = 0.1
     impl: str = "xla"
     int8_mlp: bool = False
+    # Calibration-only: sow per-channel |max| of the four GEMM inputs
+    # (trunk_i8_{qkv,proj,fc1,fc2}) for the int8 fused2-trunk scales.
+    calib_trunk_int8: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         hidden = int(self.dim * self.mlp_ratio)
         self.attn = WindowAttentionLayer(
             self.dim, self.window_size, self.num_heads, self.dropout,
-            impl=self.impl, dtype=self.dtype)
+            impl=self.impl, calib_int8=self.calib_trunk_int8,
+            dtype=self.dtype)
         self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.mlp_fc1 = DenseParams(self.dim, hidden)
         self.mlp_fc2 = DenseParams(hidden, self.dim)
         self.mlp_drop = nn.Dropout(self.dropout)
 
+    def _sow_max(self, name, v):
+        red = tuple(range(v.ndim - 1))
+        self.sow("intermediates", name,
+                 jnp.max(jnp.abs(v.astype(jnp.float32)), axis=red))
+
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        x = x + self.attn(self.norm1(x), deterministic=deterministic)
+        calib = self.calib_trunk_int8 and not self.is_initializing()
+        y_in = self.norm1(x)
+        if calib:
+            self._sow_max("trunk_i8_qkv", y_in)
+        x = x + self.attn(y_in, deterministic=deterministic)
         z = self.norm2(x)
+        if calib:
+            self._sow_max("trunk_i8_fc1", z)
         if self.int8_mlp and deterministic:
             # True int8 MXU path: per-output-channel weight quant + dynamic
             # per-tensor activation quant (serving only).
@@ -153,15 +179,23 @@ class WindowBlock(nn.Module):
             y = jax.nn.gelu(y, approximate=False)
             y = int8_dense(y, q2, s2, self.mlp_fc2.bias)
         else:
-            y = self.mlp_fc2(jax.nn.gelu(self.mlp_fc1(z), approximate=False))
+            h1 = jax.nn.gelu(self.mlp_fc1(z), approximate=False)
+            if calib:
+                self._sow_max("trunk_i8_fc2", h1)
+            y = self.mlp_fc2(h1)
         y = self.mlp_drop(y, deterministic=deterministic)
         return x + y
 
 
 def run_window_trunk(tokens: jnp.ndarray, blocks, window_size: int,
-                     deterministic: bool = True) -> jnp.ndarray:
+                     deterministic: bool = True,
+                     int8_acts=None) -> jnp.ndarray:
     """tokens: (B, Ht, Wt, D) -> same shape, after zero-padding the grid to a
     window multiple, windowed attention blocks, and unpadding.
+
+    int8_acts: optional per-layer activation scales (see
+    ops/pallas/trunk2.fused_window_trunk_v2) — routes the fused2 trunk's
+    four GEMMs through int8 MXU dots. Ignored on the XLA path.
 
     Parity: reference FastTransformer/model.py:272-297.
     """
@@ -190,7 +224,8 @@ def run_window_trunk(tokens: jnp.ndarray, blocks, window_size: int,
                 fused_window_trunk_v2,
             )
 
-            win = fused_window_trunk_v2(win, params, first.num_heads, ws)
+            win = fused_window_trunk_v2(win, params, first.num_heads, ws,
+                                        int8_acts=int8_acts)
         else:
             from transformerupscaler_tpu.ops.pallas.trunk import (
                 fused_window_trunk,

@@ -131,11 +131,17 @@ def _trunk2_pair_kernel(x_ref, mask2_ref, bdiag_ref, ln1s, ln1b, qkvw, qkvb,
     finer act grid costs nothing at runtime, same trick as the int8 conv
     path). Attention (scores/softmax/context) stays bf16/f32.
     """
-    if int8_gemms:
+    if int8_gemms == "rowwise":
+        (qkv_sw, proj_sw, fc1_sw, fc2_sw, out_ref) = rest
+        qkv_ia = proj_ia = fc1_ia = fc2_ia = None
+    elif int8_gemms:
         (qkv_sw, proj_sw, fc1_sw, fc2_sw,
          qkv_ia, proj_ia, fc1_ia, fc2_ia, out_ref) = rest
     else:
         (out_ref,) = rest
+
+    def _i(a, l):
+        return a[l] if a is not None else None
     c = x_ref.shape[-1]
     t = wpc * n
     dt = x_ref.dtype
@@ -147,8 +153,20 @@ def _trunk2_pair_kernel(x_ref, mask2_ref, bdiag_ref, ln1s, ln1b, qkvw, qkvb,
         if not int8_gemms:
             return jnp.dot(xv, w_l,
                            preferred_element_type=jnp.float32)
-        xq = jnp.clip(jnp.round(xv.astype(jnp.float32) * ia_l),
-                      -127.0, 127.0).astype(jnp.int8)
+        xf = xv.astype(jnp.float32)
+        if int8_gemms == "rowwise":
+            # Dynamic per-token act scales: LN makes per-CHANNEL stats
+            # homogeneous (calibration buys ~nothing there), but per-ROW
+            # maxes are ~4x tighter than the global max — and a row scale
+            # folds into the OUTPUT rows after the dot, so it needs no
+            # calibration at all. One cross-lane max + reciprocal per GEMM.
+            srow = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
+                               1e-6) * (1.0 / 127.0)
+            xq = jnp.round(xf * (1.0 / srow)).astype(jnp.int8)
+            y32 = jax.lax.dot_general(xq, w_l, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            return y32.astype(jnp.float32) * srow * sw_l
+        xq = jnp.clip(jnp.round(xf * ia_l), -127.0, 127.0).astype(jnp.int8)
         y32 = jax.lax.dot_general(xq, w_l, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.int32)
         return y32.astype(jnp.float32) * sw_l
@@ -157,8 +175,8 @@ def _trunk2_pair_kernel(x_ref, mask2_ref, bdiag_ref, ln1s, ln1b, qkvw, qkvb,
     for l in range(layers):
         y = _layernorm(x, ln1s[l], ln1b[l]).astype(dt)
         qkv = (gemm(y, qkvw[l],
-                    qkv_sw[l] if int8_gemms else None,
-                    qkv_ia[l] if int8_gemms else None)
+                    _i(qkv_sw, l) if int8_gemms else None,
+                    _i(qkv_ia, l))
                .astype(dt) + qkvb[l]).reshape(wpc, n, 3 * c)
         bias2_l = bias2_ref[l]  # (heads*n, 2n) f32
         probs = []
@@ -197,18 +215,18 @@ def _trunk2_pair_kernel(x_ref, mask2_ref, bdiag_ref, ln1s, ln1b, qkvw, qkvb,
             ctxs.append(jnp.concatenate([oc[:, 0:c], oc[:, c:2 * c]], axis=0))
         attn = jnp.concatenate(ctxs, axis=0)  # (t, c)
         x = x + (gemm(attn, projw[l],
-                      proj_sw[l] if int8_gemms else None,
-                      proj_ia[l] if int8_gemms else None)
+                      _i(proj_sw, l) if int8_gemms else None,
+                      _i(proj_ia, l))
                  .astype(dt) + projb[l])
         y2 = _layernorm(x, ln2s[l], ln2b[l]).astype(dt)
         h1 = (gemm(y2, fc1w[l],
-                   fc1_sw[l] if int8_gemms else None,
-                   fc1_ia[l] if int8_gemms else None)
+                   _i(fc1_sw, l) if int8_gemms else None,
+                   _i(fc1_ia, l))
               .astype(dt) + fc1b[l])
         h1 = _gelu_exact(h1)
         x = x + (gemm(h1, fc2w[l],
-                      fc2_sw[l] if int8_gemms else None,
-                      fc2_ia[l] if int8_gemms else None)
+                      _i(fc2_sw, l) if int8_gemms else None,
+                      _i(fc2_ia, l))
                  .astype(dt) + fc2b[l])
 
     out_ref[:] = x.reshape(wpc, n, c)
@@ -316,18 +334,30 @@ def fused_window_trunk_v2(win: jnp.ndarray, block_params: list[dict],
         bdiag = jnp.asarray(bd, dt)
         bias2 = jnp.concatenate([bias, bias], axis=2)   # (L, heads*n, 2n)
         extra, extra_ins = (), []
-        int8_gemms = int8_acts is not None
-        if int8_gemms:
+        int8_gemms = False
+        if int8_acts is not None:
+            rowwise = isinstance(int8_acts, str)
+            if rowwise and int8_acts != "rowwise":
+                raise ValueError(f"unknown int8_acts mode {int8_acts!r}")
+            int8_gemms = "rowwise" if rowwise else True
             ws = list(weights)
             scales = []
-            for wi, s_in in zip((2, 4, 8, 10), int8_acts):  # qkvw/projw/fc1w/fc2w
-                wq, sw, ia = quantize_gemm_weights(ws[wi], jnp.asarray(
-                    s_in, jnp.float32))
+            for j, wi in enumerate((2, 4, 8, 10)):  # qkvw/projw/fc1w/fc2w
+                s_in = (jnp.ones((layers, ws[wi].shape[1]), jnp.float32)
+                        if rowwise
+                        else jnp.asarray(int8_acts[j], jnp.float32))
+                wq, sw, ia = quantize_gemm_weights(ws[wi], s_in)
+                if rowwise:
+                    # per-row act scales apply at runtime; undo the /127
+                    # act-grid factor baked into sw by the static path.
+                    sw = sw * 127.0
                 ws[wi] = wq
                 scales.append((sw, ia))
             weights = tuple(ws)
             weight_ins = [spec3(w) for w in weights]
-            extra = tuple(s[0] for s in scales) + tuple(s[1] for s in scales)
+            extra = tuple(s[0] for s in scales)
+            if not rowwise:
+                extra = extra + tuple(s[1] for s in scales)
             extra_ins = [spec3(a) for a in extra]
         out = pl.pallas_call(
             partial(_trunk2_pair_kernel, layers=layers, heads=num_heads,
