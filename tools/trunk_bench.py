@@ -162,10 +162,15 @@ def main():
                   _np.full((6, d), 4.0, _np.float32),
                   _np.full((6, 4 * d), 4.0, _np.float32))
             for wp in (16, 24):
-                probe(f"fused trunk v2 PAIR+INT8 wpc={wp}",
+                probe(f"fused trunk v2 PAIR+INT8static wpc={wp}",
                       lambda p, w, wp=wp: fused_window_trunk_v2(
                           w, params6, heads, ws, windows_per_cell=wp,
                           int8_acts=ia),
+                      None, win240, K, log=print)
+                probe(f"fused trunk v2 PAIR+INT8rowwise wpc={wp}",
+                      lambda p, w, wp=wp: fused_window_trunk_v2(
+                          w, params6, heads, ws, windows_per_cell=wp,
+                          int8_acts="rowwise"),
                       None, win240, K, log=print)
         if "v2sweep" in which:
             for wp in (4, 6, 10, 12, 16, 24):
