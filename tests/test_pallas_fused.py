@@ -195,6 +195,23 @@ def test_model_attn_impl_fused2_matches_xla():
                                rtol=2e-4, atol=5e-5)
 
 
+def test_model_int8_trunk_close_to_fused2():
+    """int8_trunk routes the trunk GEMMs through rowwise int8; the model
+    output must stay within quantization noise of the bf16 fused2 path
+    (quality gating is tools/int8_quality.py on the trained checkpoint)."""
+    key = jax.random.PRNGKey(21)
+    x = jax.random.uniform(key, (1, 32, 32, 3), jnp.float32)
+    m_f = get_model("FastTransformer", dtype=jnp.float32, attn_impl="fused2")
+    m_q = get_model("FastTransformer", dtype=jnp.float32, attn_impl="fused2",
+                    int8_trunk=True)
+    params = m_f.init(key, x, upscale_factor=2)
+    y_f = m_f.apply(params, x, upscale_factor=2, require_ratio=False)
+    y_q = m_q.apply(params, x, upscale_factor=2, require_ratio=False)
+    d = np.asarray(y_q, np.float64) - np.asarray(y_f, np.float64)
+    rms = float(np.sqrt(np.mean(d ** 2)))
+    assert 1e-7 < rms < 0.02, f"int8 trunk model rms {rms}"
+
+
 def test_fused_trunk_pads_window_remainder(rng):
     """nW not divisible by windows_per_cell pads with zero windows."""
     from transformerupscaler_tpu.models.common import WindowBlock

@@ -42,7 +42,7 @@ def main():
         print(f"    -> {1.0 / per:8.2f} fps", flush=True)
 
     scales = None
-    if which & {"int8", "int8pallas", "int8pallasf2", "tails"}:
+    if which & {"int8", "int8pallas", "int8pallasf2", "tails", "best"}:
         m_dyn = get_model("FastTransformer", dtype=jnp.bfloat16,
                           compose_tails=True, int8_serve=True)
         _, inter = jax.jit(
@@ -74,6 +74,16 @@ def main():
     if "int8pallasf2" in which:
         run("int8 full static + pallas + fused2 trunk", int8_serve=True,
             int8_scales=scales, pallas_serve=True, attn_impl="fused2")
+    if "trunkint8" in which:
+        # rowwise int8 trunk GEMMs on the bf16 pallas pipeline (no conv
+        # quantization) — implies the paired trunk kernel.
+        run("bf16 pallas + int8 trunk", pallas_serve=True, int8_trunk=True,
+            attn_impl="fused2")
+    if "best" in which:
+        # the full stack: int8 tails + rowwise int8 trunk (paired).
+        run("int8 tails + int8 trunk + pallas", int8_serve=True,
+            int8_scope="tails", int8_scales=scales, pallas_serve=True,
+            int8_trunk=True, attn_impl="fused2")
     if "tails" in which:
         # The 120-fps candidate: bf16 Pallas pipeline, conv2/dec emit int8
         # in-kernel, both composed tails as int8 MXU stream kernels.

@@ -87,6 +87,12 @@ class FastTransformer(nn.Module):
     # Static activation scales (feat1, feat, combined, dec, tokens);
     # None = dynamic per-tensor abs-max.
     int8_scales: tuple | None = None
+    # int8 trunk GEMMs (requires attn_impl="fused2"): qkv/proj/fc1/fc2 run
+    # as int8 MXU dots inside the paired trunk kernel with dynamic per-row
+    # activation scales (no calibration needed — the row scale folds into
+    # the output rows after the int32 dot; ops/pallas/trunk2.py). Attention
+    # scores/softmax/context stay bf16/f32. Orthogonal to int8_serve.
+    int8_trunk: bool = False
     # Offline GPTQ'd image-branch weights (UpscalerEngine.gptq_int8):
     # tuple of (name, shape, int8_kernel_bytes, scale_bytes,
     # bias_bytes-or-None) with names conv1/conv2/tailA_s{scale}. The
@@ -181,8 +187,11 @@ class FastTransformer(nn.Module):
         # Branch B: transformer over full-res patch tokens (:268-309).
         tokens = patch_embed(feat_pad, self.patch_embed_kernel,
                              self.patch_embed_bias)
-        tokens = run_window_trunk(tokens, self.blocks, self.window_size,
-                                  deterministic=deterministic)
+        tokens = run_window_trunk(
+            tokens, self.blocks, self.window_size,
+            deterministic=deterministic,
+            int8_acts="rowwise" if (self.int8_trunk and deterministic)
+            else None)
         feat_trans = patch_unembed(tokens, self.patch_unembed_kernel,
                                    self.patch_unembed_bias)
         feat_trans = feat_trans[:, :h_feat, :w_feat, :]
@@ -518,8 +527,9 @@ class FastTransformer(nn.Module):
             tokens = patch_embed_packed(featp_packed(),
                                         self.patch_embed_kernel,
                                         self.patch_embed_bias)
-        tokens = run_window_trunk(tokens, self.blocks, self.window_size,
-                                  deterministic=True)
+        tokens = run_window_trunk(
+            tokens, self.blocks, self.window_size, deterministic=True,
+            int8_acts="rowwise" if self.int8_trunk else None)
         # Fused decoder (conv3x3_tail_stream) consumes the unembed output in
         # its native deinterleaved layout — the interleave4, the 118 MB dec
         # HBM round trip, and the tail's deinterleave all disappear.
