@@ -54,6 +54,9 @@ def main():
     ap.add_argument("--no_bias_correct", action="store_true",
                     help="with --gptq: skip the mean-input bias correction "
                          "(diagnostic for systematic GT-delta shifts)")
+    ap.add_argument("--int8_trunk", action="store_true",
+                    help="also run the trunk GEMMs as rowwise int8 inside "
+                         "the paired fused2 kernel (int8_trunk flag)")
     ap.add_argument("--image_dir", type=str,
                     default="/root/reference/images/training_set")
     args = ap.parse_args()
@@ -73,9 +76,11 @@ def main():
                            checkpoint_dir=args.checkpoint_dir,
                            compose_tails=True, int8_serve=True,
                            int8_scope=args.scope,
-                           pallas_serve=args.scope == "tails")
+                           pallas_serve=args.scope == "tails",
+                           int8_trunk=args.int8_trunk,
+                           attn_impl="fused2" if args.int8_trunk else "xla")
     print(f"checkpoint: {eng_f.checkpoint_path}  res_out={res_out}  "
-          f"scope={args.scope}", flush=True)
+          f"scope={args.scope}  int8_trunk={args.int8_trunk}", flush=True)
 
     def load(p, wh):
         return np.asarray(Image.open(p).convert("RGB").resize(

@@ -36,7 +36,8 @@ class UpscalerEngine:
                  quantize: bool = False, root: str = ".", donate: bool = False,
                  compose_tails: bool = False, int8_mlp: bool = False,
                  pallas_serve: bool = False, packed_serve: bool = False,
-                 int8_serve: bool = False, int8_scope: str = "full"):
+                 int8_serve: bool = False, int8_scope: str = "full",
+                 int8_trunk: bool = False):
         self.model_name = model_name
         # int8_serve runs inside the packed fast path; imply its gate.
         compose_tails = compose_tails or int8_serve
@@ -44,7 +45,7 @@ class UpscalerEngine:
             dtype=dtype, attn_impl=attn_impl, compose_tails=compose_tails,
             int8_mlp=int8_mlp, pallas_serve=pallas_serve,
             packed_serve=packed_serve, int8_serve=int8_serve,
-            int8_scope=int8_scope)
+            int8_scope=int8_scope, int8_trunk=int8_trunk)
         self.model = get_model(model_name, **self._model_kwargs)
         # The no-baked-scales model: calibration passes sow DYNAMIC scales
         # through this even after static scales are baked into self.model.
