@@ -60,6 +60,9 @@ def main():
                      attn_impl="fused2")
     params = base.init(key, x, res_out=res_out)
 
+    int8_trunk = config.endswith("_trunk")
+    if int8_trunk:
+        config = config[:-len("_trunk")]
     if config in ("int8_residual", "int8_full", "int8_tails"):
         scope = config.split("_", 1)[1]
         # The "tails" scope lives inside the Pallas pipeline; its dynamic
@@ -87,8 +90,14 @@ def main():
         model = get_model("FastTransformer", dtype=jnp.bfloat16,
                           compose_tails=True, int8_serve=True,
                           int8_scope=scope, int8_scales=scales,
-                          pallas_serve=tails,
-                          attn_impl="fused2" if tails else "xla")
+                          pallas_serve=tails, int8_trunk=int8_trunk,
+                          attn_impl="fused2" if (tails or int8_trunk)
+                          else "xla")
+    elif int8_trunk:
+        # "bf16_trunk": the bf16 pallas pipeline + rowwise int8 trunk.
+        model = get_model("FastTransformer", dtype=jnp.bfloat16,
+                          compose_tails=True, pallas_serve=True,
+                          int8_trunk=True, attn_impl="fused2")
     else:
         model = base
 
@@ -110,7 +119,8 @@ def main():
     per_frame = (tk - t1) / (K - 1)
     fps = 1.0 / per_frame
     log(f"M=1 {t1*1e3:.1f} ms, M={K} {tk*1e3:.1f} ms "
-        f"-> {per_frame*1e3:.2f} ms/frame, {fps:.2f} fps [{config}]")
+        f"-> {per_frame*1e3:.2f} ms/frame, {fps:.2f} fps "
+        f"[{config}{'+trunk' if int8_trunk else ''}]")
 
     print(json.dumps({
         "metric": "FastTransformer 720p->1080p 2x upscaling throughput",

@@ -84,7 +84,9 @@ def main(args):
                                           or args.fast,
                             packed_serve=args.fast,
                             pallas_serve=pallas,
-                            attn_impl="fused2" if pallas and on_tpu
+                            int8_trunk=args.int8_trunk,
+                            attn_impl="fused2" if ((pallas and on_tpu)
+                                                   or args.int8_trunk)
                                       else "xla")
     if engine.checkpoint_path:
         print(f"Loading checkpoint: {engine.checkpoint_path}")
@@ -166,4 +168,7 @@ if __name__ == "__main__":
                              "path ('residual' keeps the image branch bf16)")
     parser.add_argument("--int8_mlp", action="store_true",
                         help="Run transformer MLP GEMMs on the int8 MXU path")
+    parser.add_argument("--int8_trunk", action="store_true",
+                        help="rowwise int8 trunk GEMMs inside the paired "
+                             "fused2 kernel (composes with --fast/--int8_serve)")
     main(parser.parse_args())

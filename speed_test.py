@@ -36,11 +36,13 @@ def main(args):
                             compose_tails=args.fast,
                             packed_serve=args.fast,
                             pallas_serve=pallas,
-                            attn_impl="fused2" if pallas and on_tpu
+                            attn_impl="fused2" if ((pallas and on_tpu)
+                                                    or args.int8_trunk)
                                       else "xla",
                             int8_serve=args.int8 != "off",
                             int8_scope=(args.int8 if args.int8 != "off"
-                                        else "full"))
+                                        else "full"),
+                            int8_trunk=args.int8_trunk)
     if engine.checkpoint_path:
         print(f"Loading checkpoint from: {engine.checkpoint_path}")
     else:
@@ -162,6 +164,9 @@ if __name__ == "__main__":
                         choices=["off", "residual", "full", "tails"],
                         default="off",
                         help="int8 serving scope on the packed path")
+    parser.add_argument("--int8_trunk", action="store_true",
+                        help="rowwise int8 trunk GEMMs inside the paired "
+                             "fused2 kernel (composes with --fast/--int8)")
     parser.add_argument("--res_out", type=str, default="4k",
                         help="Output resolution name (reference hardcodes 4K "
                              "at speed_test.py:64; smaller values keep CI on "
