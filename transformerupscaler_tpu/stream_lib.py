@@ -59,13 +59,14 @@ class StreamPipeline:
                  bgr_out: bool = False, load_checkpoint: bool = True,
                  int8_mlp: bool = False, pallas_serve: bool = False,
                  packed_serve: bool = False, int8_serve: bool = False,
-                 int8_scope: str = "full"):
+                 int8_scope: str = "full", int8_trunk: bool = False):
         compose_tails = compose_tails or int8_serve  # int8 implies its gate
         self.model = get_model(model_name, dtype=dtype, attn_impl=attn_impl,
                                compose_tails=compose_tails, int8_mlp=int8_mlp,
                                pallas_serve=pallas_serve,
                                packed_serve=packed_serve,
-                               int8_serve=int8_serve, int8_scope=int8_scope)
+                               int8_serve=int8_serve, int8_scope=int8_scope,
+                               int8_trunk=int8_trunk)
         self.model_name = model_name
         self.res_in = res_in
         self.res_out = res_out
