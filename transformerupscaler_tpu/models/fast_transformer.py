@@ -488,8 +488,25 @@ class FastTransformer(nn.Module):
         elif fuse_enc:
             pass  # a12 came out of the fused encoder
         elif i8t:
-            a12 = tail_macro8_stream_int8(feat_q, ka, s_feat, ba,
-                                          relu=True, out_dtype=dt)
+            # Measured HONESTLY (tools/int8_tail_bench.py chains, v5e,
+            # same-process): every tail routing lands at ~2.17 ms for the
+            # conv+tail5 chain — bf16 Pallas 2.172, int8 Pallas 2.201,
+            # int8 XLA (interleave4 + conv emitter) 2.166. The round-2
+            # "0.38 ms XLA int8 tail" exists only when the producer is the
+            # XLA conv emitter itself (its tiled layout feeds the next conv
+            # free); from Pallas/default layouts the same conv costs
+            # 0.845 ms + 0.18 interleave. So the tails scope buys HBM/
+            # footprint, not speed; the XLA routing is the default (it
+            # reuses the GPTQ pre-quant infra), TUX_INT8_TAIL=pallas keeps
+            # the in-kernel int8 variant.
+            if _os.environ.get("TUX_INT8_TAIL", "xla") == "pallas":
+                a12 = tail_macro8_stream_int8(feat_q, ka, s_feat, ba,
+                                              relu=True, out_dtype=dt)
+            else:
+                a12 = conv2d_tail_packed_int8(
+                    interleave4(feat_q), ka, s_feat, ba, relu=True,
+                    out_dtype=dt, block=blk,
+                    pre_q=pq.get(f"tailA_s{scale}"))
         elif pallas_tails:
             a12 = tail_macro8_stream(feat_t, ka, ba, relu=True)
         elif i8dt:
@@ -593,8 +610,6 @@ class FastTransformer(nn.Module):
                                              pd1["kernel"].astype(dt),
                                              pd1["bias"], relu=True,
                                              out_scale=s_dec)
-                b12 = tail_macro8_stream_int8(dec_q, kc, s_dec, bc,
-                                              out_dtype=dt)
             elif i8t:
                 from transformerupscaler_tpu.ops.quant import (
                     quantize_act_ch,
@@ -605,8 +620,15 @@ class FastTransformer(nn.Module):
                                              pd1["bias"], relu=True)
                 s_dec = tail_scale("dec", dec_d, 3)
                 dec_q, _ = quantize_act_ch(dec_d, jnp.tile(s_dec, 2))
-                b12 = tail_macro8_stream_int8(dec_q, kc, s_dec, bc,
-                                              out_dtype=dt)
+            if i8t:
+                # Same XLA-int8-tail routing as branch A (see comment there).
+                if _os.environ.get("TUX_INT8_TAIL", "xla") == "pallas":
+                    b12 = tail_macro8_stream_int8(dec_q, kc, s_dec, bc,
+                                                  out_dtype=dt)
+                else:
+                    b12 = conv2d_tail_packed_int8(
+                        interleave4(dec_q), kc, s_dec, bc, out_dtype=dt,
+                        block=blk, pre_q=pq.get(f"tailB_s{scale}"))
             else:
                 dec_d = conv3x3_deint_stream(combined_d,
                                              pd1["kernel"].astype(dt),

@@ -115,8 +115,10 @@ def _trunk2_pair_kernel(x_ref, mask2_ref, bdiag_ref, ln1s, ln1b, qkvw, qkvb,
     blocks kill every cross-window term), and contexts the mirrored
     (heads*n, 2n) x (2n, 2c) product. Per window-layer the attention MXU
     tile passes drop 24 -> 18 (scores 6x2x1 -> 6x3x1/2, ctx likewise);
-    the price is VPU assembly (block-diag tile+mask builds, a lane-split
-    reshape for the per-window softmax) — measured on-device before
+    the price is VPU assembly (block-diag tile+mask builds) plus one small
+    f32 MXU pass per pair for the segment-wise softmax denominator (Mosaic
+    cannot lane-split (.., 2n) -> (.., 2, n), so the per-window sums ride a
+    block-diagonal-ones matmul instead) — measured on-device before
     shipping (tools/trunk_bench.py).
 
     mask2_ref: (heads*n, 2c) head mask tiled twice along lanes.
@@ -139,6 +141,8 @@ def _trunk2_pair_kernel(x_ref, mask2_ref, bdiag_ref, ln1s, ln1b, qkvw, qkvb,
          qkv_ia, proj_ia, fc1_ia, fc2_ia, out_ref) = rest
     else:
         (out_ref,) = rest
+        qkv_sw = proj_sw = fc1_sw = fc2_sw = None
+        qkv_ia = proj_ia = fc1_ia = fc2_ia = None
 
     def _i(a, l):
         return a[l] if a is not None else None
@@ -148,6 +152,13 @@ def _trunk2_pair_kernel(x_ref, mask2_ref, bdiag_ref, ln1s, ln1b, qkvw, qkvb,
     scale = jnp.asarray((c // heads) ** -0.5, dt)
     mask2 = mask2_ref[:]   # (heads*n, 2c)
     bdiag = bdiag_ref[:]   # (2n, 2c)
+    # Block-diagonal ones (2n, 2n): lane j's matmul against this receives
+    # the sum over j's own n-lane window segment, broadcast in place —
+    # the per-window softmax denominator without any lane-split reshape
+    # (Mosaic rejects (.., 2n) -> (.., 2, n) shape casts).
+    _row = jax.lax.broadcasted_iota(jnp.int32, (2 * n, 2 * n), 0)
+    _col = jax.lax.broadcasted_iota(jnp.int32, (2 * n, 2 * n), 1)
+    seg_ones = ((_row // n) == (_col // n)).astype(jnp.float32)
 
     def gemm(xv, w_l, sw_l=None, ia_l=None):
         if not int8_gemms:
@@ -196,12 +207,19 @@ def _trunk2_pair_kernel(x_ref, mask2_ref, bdiag_ref, ln1s, ln1b, qkvw, qkvb,
                 preferred_element_type=jnp.float32)  # (heads*n, 2n)
             probs.append(s2 + bias2_l)
         ss = jnp.stack(probs)  # (wpc/2, heads*n, 2n) f32
-        # per-WINDOW softmax: split the 2n lane dim into (2, n) segments.
-        s3 = ss.reshape(wpc // 2, heads * n, 2, n)
-        m = jnp.max(s3, axis=-1, keepdims=True)
-        p3 = jnp.exp(s3 - m)
-        p3 = p3 / jnp.sum(p3, axis=-1, keepdims=True)
-        pp = p3.reshape(wpc // 2, heads * n, 2 * n).astype(dt)
+        # per-WINDOW softmax over each n-lane segment: subtract the
+        # full-row max (exact for softmax up to exp underflow — only if a
+        # segment's peak sits >=88 nats below the OTHER window's, which
+        # trained scores never reach), exp, then one f32 MXU pass against
+        # seg_ones gives every lane its own segment's sum in place.
+        m = jnp.max(ss, axis=-1, keepdims=True)
+        p3 = jnp.exp(ss - m)
+        denom = jax.lax.dot_general(
+            p3.reshape((wpc // 2) * heads * n, 2 * n), seg_ones,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        p3 = p3 / jnp.maximum(
+            denom.reshape(wpc // 2, heads * n, 2 * n), 1e-30)
+        pp = p3.astype(dt)
         ctxs = []
         for i, w in enumerate(range(0, wpc, 2)):
             vcat = jnp.concatenate(
