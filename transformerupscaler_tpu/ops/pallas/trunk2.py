@@ -270,7 +270,7 @@ def quantize_gemm_weights(wstack: jnp.ndarray, s_in: jnp.ndarray):
 
 def fused_window_trunk_v2(win: jnp.ndarray, block_params: list[dict],
                           num_heads: int, window_size: int,
-                          windows_per_cell: int = 16,
+                          windows_per_cell: int | None = None,
                           pair: bool | None = None,
                           int8_acts=None,
                           interpret: bool | None = None) -> jnp.ndarray:
@@ -286,13 +286,20 @@ def fused_window_trunk_v2(win: jnp.ndarray, block_params: list[dict],
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if pair is None:
+        # Paired is the default: exact (1e-6 parity) and measured faster at
+        # every wpc on v5e (2.045/2.147/2.062 ms at wpc 8/16/24 vs
+        # 2.611/2.498/2.471 unpaired, tools/trunk_bench.py pair).
+        # TUX_TRUNK_PAIR=0 opts out.
         import os
-        pair = os.environ.get("TUX_TRUNK_PAIR", "0") == "1"
+        pair = os.environ.get("TUX_TRUNK_PAIR", "1") == "1"
     if int8_acts is not None:
         pair = True
     nw, n, c = win.shape
     dt = win.dtype
     layers = len(block_params)
+    if windows_per_cell is None:
+        # Measured best cells: paired 8 (2.045 ms), unpaired 16 (2.498).
+        windows_per_cell = 8 if pair else 16
     wpc = min(windows_per_cell, nw)
     if pair and wpc % 2:
         wpc += 1  # paired kernel consumes windows two at a time
