@@ -86,6 +86,33 @@ def test_fused_trunk_v2_paired_matches_xla_blocks(rng):
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_fused_trunk_v2_grouped_matches_xla_blocks(rng):
+    """Grouped-head paired attention (queries stacked along M, heads in
+    g-groups along the contraction, cross-window terms killed by -1e9 in
+    the precomputed bias): exact for every divisor group size — same
+    tolerance as the unpaired kernel."""
+    from transformerupscaler_tpu.models.common import WindowBlock
+    from transformerupscaler_tpu.ops.pallas.trunk2 import fused_window_trunk_v2
+
+    key = jax.random.PRNGKey(17)
+    win = jax.random.uniform(key, (10, 64, 192), jnp.float32)
+    blocks = [WindowBlock(192, 8, 12, dropout=0.0, dtype=jnp.float32)
+              for _ in range(2)]
+    params, outs = [], win
+    for i, blk in enumerate(blocks):
+        p = blk.init(jax.random.PRNGKey(i), outs)
+        outs = blk.apply(p, outs)
+        params.append(p["params"])
+
+    # wpc=4 covers pad (10 % 4), wpc=5 the odd-wpc bump; g=6 is the
+    # shipped group size, 3 and 12 cover multi-group and single-group.
+    for g, wpc in ((6, 4), (6, 5), (3, 4), (12, 4)):
+        got = fused_window_trunk_v2(win, params, num_heads=12, window_size=8,
+                                    windows_per_cell=wpc, group=g)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(outs),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_fused_trunk_v2_int8_gemms_close_to_f32(rng):
     """int8 GEMMs inside the paired kernel: with safely-wide act scales the
     output stays within quantization noise of the XLA block loop — a

@@ -123,7 +123,7 @@ def main():
         qkv0 = jax.random.uniform(key, (240, ws * ws, 3 * d), dt)
         probe("attention core (split+scores+softmax+out)", core, pp, qkv0,
               K, log=print)
-    if which & {"v1", "v2", "v2sweep", "pair", "pairint8"}:
+    if which & {"v1", "v2", "v2sweep", "pair", "pairint8", "grouped"}:
         from transformerupscaler_tpu.ops.pallas.trunk import (
             fused_window_trunk,
         )
@@ -171,6 +171,23 @@ def main():
                       lambda p, w, wp=wp: fused_window_trunk_v2(
                           w, params6, heads, ws, windows_per_cell=wp,
                           int8_acts="rowwise"),
+                      None, win240, K, log=print)
+        if "grouped" in which:
+            # grouped-head vs paired, same process. g=6 is the tile-math
+            # favourite (K util 75%, 24 vs 42 passes/pair-layer).
+            probe("fused trunk v2 PAIRED   wpc=8 (ref)",
+                  lambda p, w: fused_window_trunk_v2(
+                      w, params6, heads, ws, windows_per_cell=8,
+                      pair=True),
+                  None, win240, K, log=print)
+            import os as _os
+            cfgs = _os.environ.get("TUX_GROUP_SWEEP", "6:8,12:8")
+            for tok in cfgs.split(","):
+                g, wp = (int(v) for v in tok.split(":"))
+                probe(f"fused trunk v2 GROUPED g={g} wpc={wp}",
+                      lambda p, w, g=g, wp=wp: fused_window_trunk_v2(
+                          w, params6, heads, ws, windows_per_cell=wp,
+                          group=g),
                       None, win240, K, log=print)
         if "v2sweep" in which:
             for wp in (4, 6, 10, 12, 16, 24):

@@ -250,6 +250,103 @@ def _trunk2_pair_kernel(x_ref, mask2_ref, bdiag_ref, ln1s, ln1b, qkvw, qkvb,
     out_ref[:] = x.reshape(wpc, n, c)
 
 
+def _trunk2_group_kernel(x_ref, bdg_ref, ln1s, ln1b, qkvw, qkvb, projw,
+                         projb, ln2s, ln2b, fc1w, fc1b, fc2w, fc2b,
+                         biasG_ref, out_ref, *, layers, heads, n, wpc, g):
+    """GROUPED-HEAD window-paired attention — the third score layout.
+
+    The paired kernel (_trunk2_pair_kernel) still pays the heads-fold MAC
+    inflation: queries are broadcast to (heads*n, 2c) and masked, so the
+    score dot runs M=heads*n against the FULL 2c contraction. This kernel
+    flips the layout: the window pair's queries stack along M (2n = 128
+    rows — exactly one MXU tile), and heads pack in GROUPS of g along the
+    contraction (g*hd lanes) against a block-diagonal key matrix
+    (g*2n, g*hd) whose block i holds head i's keys for both windows. The
+    scores come out (2n, g*2n) = per-head blocks side by side:
+
+      s[r, i*2n + u] = <q[r, head_i dims], k[u, head_i dims]>
+
+    Cross-window terms (query in window w, key in w+1) ARE computed here —
+    they die via a -1e9 entry folded into the precomputed bias (biasG), so
+    after exp the (row, head) 2n-lane block holds p > 0 only for the row's
+    own window, and the softmax denominator is a NATIVE full-lane-block
+    reduction on the (2n, g, 2n) view — no seg_ones f32 matmul at all.
+    The context dot against the same block-diagonal V layout emits
+    (2n, g*hd) with per-head channels already concatenated — no mask-
+    extract reduction either.
+
+    MXU accounting per pair-layer at c=192, heads=12, n=64, g=6: scores
+    2 x (M1, K1, N6) = 12 passes, context 2 x (M1, K6, N1) = 12, denom 0
+    — vs the paired kernel's 18 + 18 + 6 = 42. MACs 25.2M vs 37.7M.
+
+    biasG_ref: (L, 2n, heads*2n) f32 — relative bias replicated per window
+    with -1e9 on cross-window entries (built in fused_window_trunk_v2).
+    bdg_ref: (g*2n, g*hd) block-diagonal ones.
+    """
+    c = x_ref.shape[-1]
+    hd = c // heads
+    ng = heads // g        # head groups
+    gw = g * hd            # group channel width
+    t = wpc * n
+    dt = x_ref.dtype
+    scale = jnp.asarray(hd ** -0.5, dt)
+    bdg = bdg_ref[:]       # (g*2n, gw)
+
+    x = x_ref[:].reshape(t, c)
+    for l in range(layers):
+        y = _layernorm(x, ln1s[l], ln1b[l]).astype(dt)
+        qkv = (jnp.dot(y, qkvw[l], preferred_element_type=jnp.float32)
+               .astype(dt) + qkvb[l]).reshape(wpc, n, 3 * c)
+        biasG_l = biasG_ref[l]  # (2n, heads*2n) f32
+        attns = []
+        for w in range(0, wpc, 2):  # static unroll over window pairs
+            q2 = jnp.concatenate([qkv[w, :, 0:c],
+                                  qkv[w + 1, :, 0:c]], axis=0) * scale
+            kcat = jnp.concatenate([qkv[w, :, c:2 * c],
+                                    qkv[w + 1, :, c:2 * c]], axis=0)
+            vcat = jnp.concatenate([qkv[w, :, 2 * c:3 * c],
+                                    qkv[w + 1, :, 2 * c:3 * c]], axis=0)
+            ctxs = []
+            for j in range(ng):
+                # basic 2D slices only — mixing newaxis with a slice lowers
+                # to a Mosaic-unsupported gather on TPU.
+                kg = kcat[:, j * gw:(j + 1) * gw]
+                kb = (jnp.broadcast_to(kg[None], (g, 2 * n, gw))
+                      .reshape(g * 2 * n, gw) * bdg)
+                s = jax.lax.dot_general(
+                    q2[:, j * gw:(j + 1) * gw], kb,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (2n, g*2n)
+                s = s + biasG_l[:, j * g * 2 * n:(j + 1) * g * 2 * n]
+                # per-(row, head) softmax: each 2n-lane block is one head's
+                # keys for both windows; cross-window entries carry -1e9
+                # from biasG, so exp zeroes them and the block sum is the
+                # row's own-window denominator.
+                sv = s.reshape(2 * n, g, 2 * n)
+                m = jnp.max(sv, axis=-1, keepdims=True)
+                p = jnp.exp(sv - m)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                probs = p.reshape(2 * n, g * 2 * n).astype(dt)
+                vg = vcat[:, j * gw:(j + 1) * gw]
+                vb = (jnp.broadcast_to(vg[None], (g, 2 * n, gw))
+                      .reshape(g * 2 * n, gw) * bdg)
+                ctxs.append(jnp.dot(probs, vb,
+                                    preferred_element_type=jnp.float32)
+                            .astype(dt))  # (2n, gw): per-head channels
+            attns.append(jnp.concatenate(ctxs, axis=1))  # (2n, c)
+        attn = jnp.concatenate(attns, axis=0)  # (t, c)
+        x = x + (jnp.dot(attn, projw[l], preferred_element_type=jnp.float32)
+                 .astype(dt) + projb[l])
+        y2 = _layernorm(x, ln2s[l], ln2b[l]).astype(dt)
+        h1 = (jnp.dot(y2, fc1w[l], preferred_element_type=jnp.float32)
+              .astype(dt) + fc1b[l])
+        h1 = _gelu_exact(h1)
+        x = x + (jnp.dot(h1, fc2w[l], preferred_element_type=jnp.float32)
+                 .astype(dt) + fc2b[l])
+
+    out_ref[:] = x.reshape(wpc, n, c)
+
+
 def quantize_gemm_weights(wstack: jnp.ndarray, s_in: jnp.ndarray):
     """Per-out-channel int8 quantization of stacked (L, k, n) GEMM weights
     with per-in-channel activation scales folded in (exact fold: the act
@@ -272,6 +369,7 @@ def fused_window_trunk_v2(win: jnp.ndarray, block_params: list[dict],
                           num_heads: int, window_size: int,
                           windows_per_cell: int | None = None,
                           pair: bool | None = None,
+                          group: int | None = None,
                           int8_acts=None,
                           interpret: bool | None = None) -> jnp.ndarray:
     """win: (nW, ws*ws, C) window tokens -> same shape after all blocks.
@@ -279,12 +377,21 @@ def fused_window_trunk_v2(win: jnp.ndarray, block_params: list[dict],
     block_params: per-block WindowBlock param trees (see trunk.py).
     pair: run the window-paired attention variant (_trunk2_pair_kernel);
     default reads TUX_TRUNK_PAIR (off until measured on-device).
+    group: grouped-head paired attention (_trunk2_group_kernel) with g
+    heads per score group (must divide num_heads; bf16 only — int8_acts
+    falls back to the paired kernel). Default reads TUX_TRUNK_GROUP
+    (0 = off).
     int8_acts: optional (s_qkv (L,c), s_proj (L,c), s_fc1 (L,c),
     s_fc2 (L,4c)) f32 per-in-channel activation scales — runs the four
     GEMMs as int8 MXU dots inside the paired kernel (implies pair).
     """
+    import os
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if group is None:
+        group = int(os.environ.get("TUX_TRUNK_GROUP", "0"))
+    if int8_acts is not None or (group and num_heads % group):
+        group = 0
     if pair is None:
         # Paired is the default: exact (1e-6 parity) and measured faster at
         # every wpc on v5e (2.045/2.147/2.062 ms at wpc 8/16/24 vs
@@ -299,10 +406,10 @@ def fused_window_trunk_v2(win: jnp.ndarray, block_params: list[dict],
     layers = len(block_params)
     if windows_per_cell is None:
         # Measured best cells: paired 8 (2.045 ms), unpaired 16 (2.498).
-        windows_per_cell = 8 if pair else 16
+        windows_per_cell = 8 if (pair or group) else 16
     wpc = min(windows_per_cell, nw)
-    if pair and wpc % 2:
-        wpc += 1  # paired kernel consumes windows two at a time
+    if (pair or group) and wpc % 2:
+        wpc += 1  # paired/grouped kernels consume windows two at a time
     pad = (wpc - nw % wpc) % wpc
     if pad:
         win = jnp.pad(win, ((0, pad), (0, 0), (0, 0)))
@@ -350,6 +457,47 @@ def fused_window_trunk_v2(win: jnp.ndarray, block_params: list[dict],
     ]
     weights = (ln1s, ln1b, qkvw, qkvb, projw, projb, ln2s, ln2b,
                fc1w, fc1b, fc2w, fc2b)
+
+    if group:
+        g = group
+        hd = c // num_heads
+        gw = g * hd
+        # Block-diagonal ones (g*2n, g*hd): block i = head i's hd channels
+        # for both windows' 2n key rows.
+        bd = np.zeros((g, 2 * n, gw), np.float32)
+        for i in range(g):
+            bd[i, :, i * hd:(i + 1) * hd] = 1.0
+        bdg = jnp.asarray(bd.reshape(g * 2 * n, gw), dt)
+        # biasG (L, 2n, heads*2n): query row r = win*n + t, col
+        # h*2n + wk*n + u -> rel bias[h, t, u] when win == wk, else -1e9
+        # (the cross-window kill — becomes exp(..) == 0 in the kernel).
+        bT = jnp.transpose(bias.reshape(layers, num_heads, n, n),
+                           (0, 2, 1, 3))            # (L, n, heads, n)
+        neg = jnp.full_like(bT, -1e9)
+        row0 = jnp.stack([bT, neg], axis=3).reshape(layers, n,
+                                                    num_heads * 2 * n)
+        row1 = jnp.stack([neg, bT], axis=3).reshape(layers, n,
+                                                    num_heads * 2 * n)
+        biasG = jnp.concatenate([row0, row1], axis=1)  # (L, 2n, heads*2n)
+        out = pl.pallas_call(
+            partial(_trunk2_group_kernel, layers=layers, heads=num_heads,
+                    n=n, wpc=wpc, g=g),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((wpc, n, c), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g * 2 * n, gw), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                *weight_ins, spec3(biasG),
+            ],
+            out_specs=pl.BlockSpec((wpc, n, c), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nw + pad, n, c), dt),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(win, bdg, *weights, biasG)
+        return out[:nw] if pad else out
 
     if pair:
         mask2 = jnp.concatenate([mask, mask], axis=1)   # (heads*n, 2c)
