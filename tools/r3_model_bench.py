@@ -84,6 +84,15 @@ def main():
         run("int8 tails + int8 trunk + pallas", int8_serve=True,
             int8_scope="tails", int8_scales=scales, pallas_serve=True,
             int8_trunk=True, attn_impl="fused2")
+    if "groupedf2" in which:
+        # grouped-head trunk vs the paired default, same process (env is
+        # read at trace time, so flipping it between runs works).
+        run("bf16 pallas + fused2 PAIRED trunk", pallas_serve=True,
+            attn_impl="fused2")
+        os.environ["TUX_TRUNK_GROUP"] = os.environ.get("TUX_G", "6")
+        run(f"bf16 pallas + fused2 GROUPED g={os.environ['TUX_TRUNK_GROUP']}",
+            pallas_serve=True, attn_impl="fused2")
+        del os.environ["TUX_TRUNK_GROUP"]
     if "tails" in which:
         # The 120-fps candidate: bf16 Pallas pipeline, conv2/dec emit int8
         # in-kernel, both composed tails as int8 MXU stream kernels.
