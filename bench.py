@@ -105,9 +105,13 @@ def main():
     _ = np.asarray(f(params, x, 1))
     log(f"setup (compile + calibration): {time.perf_counter() - t0:.1f}s")
 
-    K = 10
+    # M is a traced argument (tools/probe_lib.chained_dyn), so a longer
+    # chain costs zero extra compiles; K=24 cuts the differencing noise
+    # ~2.5x vs the round-2 K=10 (the tunnel's per-fetch jitter divides by
+    # K-1), making the reported number track the true device rate.
+    K = 24
 
-    def best(m, n=5):
+    def best(m, n=6):
         ts = []
         for _ in range(n):
             t0 = time.perf_counter()

@@ -82,30 +82,39 @@ def bench_one(model_name, scale, serve, K):
 
 
 def quality_delta(model_name, scale, serve):
-    """PSNR (dB) of the served config vs the exact f32 path, same weights,
-    small geometry, CPU. None for the parameter-free Bicubic (identical by
-    construction)."""
+    """PSNR (dB) of the served config vs the exact f32 path, same weights.
+    None for the parameter-free Bicubic (identical by construction).
+
+    Runs on the DEFAULT device: the TPU during a matrix run (the Pallas
+    serve kernels must compile natively — forcing them onto the host CPU
+    inside a TPU process trips the 'interpret only' Mosaic error, and
+    interpret mode is far too slow anyway), plain CPU+interpret in a
+    CPU-only environment. Window/Fast are resolution-agnostic, so a small
+    96x128 geometry measures the same serve-path transforms cheaply;
+    ResidualTransformer's pos_embed is baked to 720p input (reference
+    ResidualTransformer/model.py:99), so it runs at the real geometry."""
     if model_name == "BicubicInterpolation":
         return None
     from transformerupscaler_tpu.registry import get_model
 
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        key = jax.random.PRNGKey(0)
-        x = jax.random.uniform(key, (1, 96, 128, 3), jnp.float32)
-        exact = get_model(model_name, dtype=jnp.float32)
-        params = exact.init(key, x, upscale_factor=scale)
-        kw = SERVE_KW if serve == "fast" else {}
-        served = get_model(model_name, dtype=jnp.bfloat16, **kw)
-        y_ref = np.asarray(exact.apply(params, x, upscale_factor=scale),
-                           np.float64)
-        y_srv = np.asarray(
-            served.apply(params, x.astype(jnp.bfloat16),
-                         upscale_factor=scale), np.float64)
-        err = float(np.mean((y_ref - y_srv) ** 2))
-        if err == 0.0:
-            return float("inf")
-        return float(-10.0 * np.log10(err))
+    kw = SERVE_KW if serve == "fast" else {}
+    key = jax.random.PRNGKey(0)
+    geom = ((720, 1280) if model_name == "ResidualTransformer"
+            else (96, 128))
+    x = jax.random.uniform(key, (1, *geom, 3), jnp.float32)
+    exact = get_model(model_name, dtype=jnp.float32)
+    params = exact.init(key, x, upscale_factor=scale)
+    served = get_model(model_name, dtype=jnp.bfloat16, **kw)
+    y_ref = np.asarray(
+        jax.jit(lambda p, v: exact.apply(p, v, upscale_factor=scale))(
+            params, x), np.float64)
+    y_srv = np.asarray(
+        jax.jit(lambda p, v: served.apply(p, v, upscale_factor=scale))(
+            params, x.astype(jnp.bfloat16)), np.float64)
+    err = float(np.mean((y_ref - y_srv) ** 2))
+    if err == 0.0:
+        return float("inf")
+    return float(-10.0 * np.log10(err))
 
 
 def main():
@@ -140,9 +149,13 @@ def main():
                     row["fps_per_chip"] = round(1.0 / per, 2)
                     row["ms_per_frame"] = round(per * 1e3, 3)
                 if not args.no_quality:
-                    q = quality_delta(model_name, scale, args.serve)
-                    row["serve_psnr_vs_f32_db"] = (
-                        None if q is None else round(q, 2))
+                    # A quality failure must not discard the measured fps.
+                    try:
+                        q = quality_delta(model_name, scale, args.serve)
+                        row["serve_psnr_vs_f32_db"] = (
+                            None if q is None else round(q, 2))
+                    except Exception as e:  # noqa: BLE001
+                        row["quality_error"] = str(e)[:200]
                 rows.append(row)
                 ms = "  floor" if floor else f"{row['ms_per_frame']:8.2f} ms"
                 fps = "" if floor else f"{row['fps_per_chip']:8.2f} fps"

@@ -31,9 +31,13 @@ def main():
 
     kw = dict(compose_tails=True)
     if config == "pallas":
+        # The full headline serving config (bench.py): Pallas stream
+        # kernels + the fused2 paired trunk megakernel.
         kw["pallas_serve"] = True
+        kw["attn_impl"] = "fused2"
     elif config == "int8":
         kw["pallas_serve"] = True
+        kw["attn_impl"] = "fused2"
         kw["int8_serve"] = True
     pipe = StreamPipeline("FastTransformer", (720, 1280), (1080, 1920),
                           dtype=jnp.bfloat16, **kw)
