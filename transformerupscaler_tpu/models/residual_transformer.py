@@ -10,6 +10,8 @@ Like the reference, the positional embedding is baked to the 720x1280 input
 geometry — the model is NOT resolution-agnostic.
 """
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -258,12 +260,27 @@ class ResidualTransformer(nn.Module):
         dec_px = dec.reshape(b, h // 2, w // 2, dec.shape[-1] // 2)
         residual = self.decoder_conv2(dec_px)
 
+        r = scale
+        if r >= 3 and os.environ.get("TUX_RESID_CONV_BICUBIC", "0") != "1":
+            # The block-packed bicubic convs pay MACs ~ r^2 per output
+            # pixel (the taps are materialized as dense (4, 4, C, 3r^2C)
+            # kernels); the separable resize matmuls are O(output area)
+            # with a 4-tap constant. Measured on v5e 720p (one process,
+            # chained probes): x3 packed-conv 26.5 ms vs matmul tail
+            # ~14 ms, crossing between r=2 (conv wins: 13.6 vs 16.2) and
+            # r=3. Same math either way (interpolate_bicubic is the
+            # parity-tested reference resize, reference
+            # ResidualTransformer/model.py F.interpolate bicubic).
+            res_out = (h * r, w * r)
+            residual_up = interpolate_bicubic(residual, res_out)
+            upscaled_input = interpolate_bicubic(x, res_out)
+            return jnp.clip(upscaled_input + residual_up, 0.0, 1.0)
+
         # Residual branch: bicubic x(2*scale) at half res -> pre-shuffle
         # channels (3, I, J) with I, J in [0, 2*scale); part-shuffle the
         # factor-2 onto the full-res grid, keeping (3, I%scale, J%scale) in
         # channels: full-res pixel row = scale*(2g + a) + i' with
         # a = I // scale, i' = I % scale.
-        r = scale
         pre2 = bicubic_upscale_conv_packed(residual, 2 * r)
         # Reorder (c, I, J) -> ((c, i', j'), a, b): pixel_shuffle(2) then
         # leaves (c, i', j') pre-shuffle-r channels on the full-res grid.
