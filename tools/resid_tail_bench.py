@@ -38,8 +38,8 @@ def main():
         def apply(p, v, s=s):
             return model.apply(p, v, upscale_factor=s)
 
-        for mode, env in (("matmul", "0"), ("conv", "1")):
-            os.environ["TUX_RESID_CONV_BICUBIC"] = env
+        for mode in ("matmul", "conv"):
+            os.environ["TUX_RESID_BICUBIC"] = mode
             per = probe(f"x{s} {mode}", apply, params, x, K, log=None)
             print(f"x{s} bicubic-tail={mode:7s} {per*1e3:8.2f} ms "
                   f"{1.0/per:7.2f} fps", flush=True)

@@ -261,16 +261,19 @@ class ResidualTransformer(nn.Module):
         residual = self.decoder_conv2(dec_px)
 
         r = scale
-        if r >= 3 and os.environ.get("TUX_RESID_CONV_BICUBIC", "0") != "1":
+        # TUX_RESID_BICUBIC=conv opts back into the block-packed-conv
+        # bicubic branches (the measured rejection) for A/B probes.
+        if os.environ.get("TUX_RESID_BICUBIC", "matmul") == "matmul":
             # The block-packed bicubic convs pay MACs ~ r^2 per output
             # pixel (the taps are materialized as dense (4, 4, C, 3r^2C)
             # kernels); the separable resize matmuls are O(output area)
-            # with a 4-tap constant. Measured on v5e 720p (one process,
-            # chained probes): x3 packed-conv 26.5 ms vs matmul tail
-            # ~14 ms, crossing between r=2 (conv wins: 13.6 vs 16.2) and
-            # r=3. Same math either way (interpolate_bicubic is the
-            # parity-tested reference resize, reference
-            # ResidualTransformer/model.py F.interpolate bicubic).
+            # with a 4-tap constant. Measured on v5e 720p
+            # (tools/resid_tail_bench.py, one process, chained probes),
+            # matmul vs conv ms/frame: x2 8.72 vs 19.9, x3 13.6 vs 25.5,
+            # x6 15.7 vs 40.7 — matmul wins at every scale. Same math
+            # either way (interpolate_bicubic is the parity-tested
+            # reference resize, reference ResidualTransformer/model.py
+            # F.interpolate bicubic).
             res_out = (h * r, w * r)
             residual_up = interpolate_bicubic(residual, res_out)
             upscaled_input = interpolate_bicubic(x, res_out)

@@ -24,6 +24,7 @@ conv2d_tail_packed(block=8) — exact modulo bf16 reassociation. Serving-only
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -754,7 +755,7 @@ def _tail_kernel(cur, above, below, w, bias, out, slab, *, g_img, pad_h,
 
 
 def tail_macro8_stream(xt: jnp.ndarray, kernel, bias=None,
-                       relu: bool = False, rows: int = 24,
+                       relu: bool = False, rows: int | None = None,
                        interpret: bool | None = None) -> jnp.ndarray:
     """Composed-tail conv as macro-8 GEMMs, row-streamed.
 
@@ -767,6 +768,8 @@ def tail_macro8_stream(xt: jnp.ndarray, kernel, bias=None,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if rows is None:
+        rows = int(os.environ.get("TUX_TAIL_ROWS", "24"))
     b, h, _, g_img, _ = xt.shape
     if h % rows:
         rows = 8
