@@ -531,6 +531,24 @@ def test_residual_packed_path_matches_exact():
     np.testing.assert_array_equal(np.asarray(y_p), np.asarray(y_e))
 
 
+def test_residual_packed_conv_bicubic_optin_matches_exact(monkeypatch):
+    """The measured-rejected block-packed-conv bicubic tail
+    (TUX_RESID_BICUBIC=conv) must stay exact so the A/B probe
+    (tools/resid_tail_bench.py) keeps comparing like for like."""
+    monkeypatch.setenv("TUX_RESID_BICUBIC", "conv")
+    rng = np.random.default_rng(1)
+    key = jax.random.PRNGKey(0)
+    kw = dict(dtype=jnp.float32, token_hw=(2, 2))
+    x = jnp.asarray(rng.random((1, 32, 32, 3)), jnp.float32)
+    m_e = get_model("ResidualTransformer", **kw)
+    m_p = get_model("ResidualTransformer", packed_serve=True, **kw)
+    params = m_e.init(key, x, res_out=(96, 96))
+    y_e = m_e.apply(params, x, res_out=(96, 96))
+    y_p = m_p.apply(params, x, res_out=(96, 96))
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_e),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_bicubic_upscale_conv_packed_exact(rng):
     from transformerupscaler_tpu.ops.pixel_shuffle import pixel_shuffle
     from transformerupscaler_tpu.ops.resize import (
