@@ -74,6 +74,39 @@ def test_fast_transformer_res_out_squash():
     assert out.shape == (1, 60, 72, 3)
 
 
+def test_fast_transformer_identity_squash_skipped():
+    """res_out == out_hw makes the ratio-bug squash an identity resize —
+    the model must SKIP it (bit-exact; at x6 the identity resize_shuffled
+    is ~1.2 TMAC of waste), while non-multiple geometries still squash
+    (reference FastTransformer/model.py:322-325)."""
+    import transformerupscaler_tpu.models.fast_transformer as ft
+
+    model = tux.get_model("FastTransformer")
+    x = jnp.asarray(np.random.default_rng(1).random((1, 40, 48, 3)),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, upscale_factor=2)
+    calls = []
+    orig = ft.resize_shuffled
+
+    def spy(*a, **kw):
+        calls.append(a[2] if len(a) > 2 else kw.get("out_hw"))
+        return orig(*a, **kw)
+
+    ft.resize_shuffled = spy
+    try:
+        # Exact multiple: (80, 96) == out_hw -> no squash, and identical to
+        # the never-squash (require_ratio=False) output.
+        out = model.apply(params, x, res_out=(80, 96), require_ratio=True)
+        assert not calls
+        ref = model.apply(params, x, res_out=(80, 96), require_ratio=False)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        # Non-multiple: still squashes through resize_shuffled.
+        out2 = model.apply(params, x, res_out=(60, 72), require_ratio=True)
+        assert calls and out2.shape == (1, 60, 72, 3)
+    finally:
+        ft.resize_shuffled = orig
+
+
 def test_window_transformer_forward_runs():
     model = tux.get_model("WindowTransformer")
     x = jnp.asarray(np.random.default_rng(0).random((1, 64, 96, 3)), jnp.float32)

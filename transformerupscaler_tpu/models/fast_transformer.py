@@ -173,7 +173,14 @@ class FastTransformer(nn.Module):
         out_hw = (h_feat * scale, w_feat * scale)
         # Reference compares res_out against (H, H) — reproduce unless fixed (:323).
         compare = out_hw if self.fix_ratio_bug else (out_hw[0], out_hw[0])
-        squash = require_ratio and tuple(res_out) != compare
+        # res_out == out_hw makes the squash an IDENTITY resize (integer
+        # sample grid -> resize matrices are exactly delta rows; the
+        # reference's same-size F.interpolate is likewise a no-op), yet the
+        # buggy (H, H) compare still triggers it — at exact-multiple
+        # geometries that is pure wasted matmul (the phase-split contraction
+        # grows with output area: ~1.2 TMAC at x6). Skipping is bit-exact.
+        squash = (require_ratio and tuple(res_out) != compare
+                  and tuple(res_out) != out_hw)
 
         # Branch A on the unpadded features (:263-265). The RGB conv is fused
         # through the final pixel shuffle (exact repack, see
@@ -198,11 +205,17 @@ class FastTransformer(nn.Module):
         combined = feat + feat_trans
 
         dec = self.decoder_conv1(combined)
-        if self.compose_tails and not self.is_initializing():
+        if (self.compose_tails and scale == 2
+                and not self.is_initializing()):
             # Fold decoder_conv2 (3x3 64->3, no activation between — reference
             # model.py:313,316) into the upsampler's first conv: one
             # 128-lane-friendly composed conv instead of a 3-output-lane conv
             # followed by a 12-lane one (measured 2.5 + 1.3 ms -> ~1 ms).
+            # SCALE 2 ONLY: the fold expands MACs through the rank-3 RGB
+            # bottleneck (7x7 64->3r^2 vs 3x3 64->3 then 5x5 3->3r^2), which
+            # the larger scales pay 9-45x for — measured LOSSES at r>=3
+            # (tools/factored_tail_bench.py: x3 3.72 vs 2.57 ms, x4 4.51 vs
+            # 2.47, x6 5.41 vs 3.07), so they take the sequential branch.
             p2 = self.decoder_conv2.variables["params"]
             residual_up = self.final_upscale(
                 dec, scale,
@@ -330,7 +343,11 @@ class FastTransformer(nn.Module):
         # with the conv-emitter's relayout (tools/int8_pallas_iso4.py).
         out_hw = (h * scale, w * scale)
         compare = out_hw if self.fix_ratio_bug else (out_hw[0], out_hw[0])
-        squash = require_ratio and tuple(res_out) != compare
+        # Skip the identity squash at exact-multiple geometries (bit-exact;
+        # see the __call__ comment) — at x6 the identity resize_shuffled is
+        # ~1.2 TMAC of pure waste.
+        squash = (require_ratio and tuple(res_out) != compare
+                  and tuple(res_out) != out_hw)
 
         # Branch A composed kernel: the whole up1 chain o commuted RGB tail,
         # one base-res conv emitting pixel_shuffle(scale)-ordered channels.
@@ -578,13 +595,45 @@ class FastTransformer(nn.Module):
                                             ) + featp_packed()
 
         # Decoder tail: dec2 o (final_upscale chain o commuted tail) — e.g.
-        # 7x7 64->12 at scale 2, 7x7 64->48 at scale 4 (all at base res).
+        # 7x7 64->12 at scale 2 (all at base res). Folding dec2 in expands
+        # MACs through the rank-3 RGB bottleneck (7x7 64->3r^2 vs
+        # 3x3 64->3 then 5x5 3->3r^2): measured a WIN only at scale 2
+        # (pallas 7x7 1.93 vs factored 2.50 ms) and a loss at r>=3
+        # (x3 3.72 vs 2.57, x4 4.51 vs 2.47, x6 5.41 vs 3.07 —
+        # tools/factored_tail_bench.py), so larger scales run dec2 as a
+        # macro-32 packed conv followed by the (5,5,3,3r^2) composition.
+        # int8 scopes keep the folded kernel (their calibrated scales and
+        # GPTQ pre-quant weights are defined on it).
         pd1 = self.decoder_conv1.variables["params"]
         pd2 = self.decoder_conv2.variables["params"]
-        kc, bc = composed_tail_kernel(
-            self.final_upscale._params, scale,
-            self.final_upscale_conv_kernel, self.final_upscale_conv_bias,
-            dt, pre_kernel=pd2["kernel"], pre_bias=pd2["bias"])
+        # TUX_FOLD_PRE=1 forces the folded kernel at every scale (the
+        # round-2 routing) for same-process A/B probing.
+        fold_pre = (scale == 2 or i8t or i8b or i8dt
+                    or _os.environ.get("TUX_FOLD_PRE") == "1")
+        if fold_pre:
+            kc, bc = composed_tail_kernel(
+                self.final_upscale._params, scale,
+                self.final_upscale_conv_kernel, self.final_upscale_conv_bias,
+                dt, pre_kernel=pd2["kernel"], pre_bias=pd2["bias"])
+        else:
+            kc, bc = composed_tail_kernel(
+                self.final_upscale._params, scale,
+                self.final_upscale_conv_kernel, self.final_upscale_conv_bias,
+                dt)
+
+        def factored_b_tail(dec_p):
+            """Sequential branch-B tail on the packed layout: decoder_conv2
+            (3x3 64->3) as a macro-block conv, then the up-chain o commuted
+            RGB tail composition (5x5 3->3r^2). Exact legacy ordering
+            (reference model.py:313,316) — zero-pads per conv, so the border
+            ring differs from the folded kernel's single-pad by design."""
+            co = kc.shape[3]
+            blk2 = next((bb for bb in (32, 16, 8, 4, 2) if w % bb == 0), 2)
+            r3 = conv2d_tail_packed(dec_p, pd2["kernel"].astype(dt),
+                                    pd2["bias"].astype(dt), block=blk2)
+            rp = r3.reshape(b, h, w // 2, 6)
+            blk5 = 2 if co >= 64 else tail_block(co, w)
+            return conv2d_tail_packed(rp, kc, bc, block=blk5)
         if fuse_dec:
             from transformerupscaler_tpu.ops.pallas.stream import (
                 conv3x3_tail_stream,
@@ -633,7 +682,12 @@ class FastTransformer(nn.Module):
                 dec_d = conv3x3_deint_stream(combined_d,
                                              pd1["kernel"].astype(dt),
                                              pd1["bias"], relu=True)
-                b12 = tail_macro8_stream(dec_d, kc, bc)
+                if fold_pre:
+                    b12 = tail_macro8_stream(dec_d, kc, bc)
+                else:
+                    # Factored tail is all-XLA; Pallas -> transpose -> XLA
+                    # conv is the clean crossing direction.
+                    b12 = factored_b_tail(interleave4(dec_d))
         else:
             if i8b:
                 cq, s3 = act_q("combined", combined, 2)
@@ -664,12 +718,18 @@ class FastTransformer(nn.Module):
                                   padding=(kc.shape[0] - 1) // 2,
                                   out_dtype=dt)
             elif direct_tails:
-                from transformerupscaler_tpu.ops.conv import conv2d
+                if fold_pre:
+                    from transformerupscaler_tpu.ops.conv import conv2d
 
-                b12 = conv2d(dec.reshape(b, h, w, -1), kc, bc,
-                             padding=(kc.shape[0] - 1) // 2, auto_macro=False)
-            else:
+                    b12 = conv2d(dec.reshape(b, h, w, -1), kc, bc,
+                                 padding=(kc.shape[0] - 1) // 2,
+                                 auto_macro=False)
+                else:
+                    b12 = factored_b_tail(dec)
+            elif fold_pre:
                 b12 = conv2d_tail_packed(dec, kc, bc, block=blk)
+            else:
+                b12 = factored_b_tail(dec)
 
         # Branch layouts may differ (macro-8 vs macro-blk vs NHWC) when the
         # branches route differently; all are free reshapes of NHWC.
