@@ -2,6 +2,8 @@
 CPU test platform): fused trunk megakernel, fused patch embed/unembed+add,
 and the width-2-packed conv. Each must match its XLA-path twin."""
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -461,6 +463,25 @@ def test_full_model_packed_path_matches_composed_xla():
         y_p = m_p.apply(params, x, **kwargs)
         np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_c),
                                    rtol=1e-4, atol=2e-5)
+
+    # The opt-in factored branch-B tail (TUX_FOLD_PRE=0, a measured
+    # rejection at model level — tools/fold_ab_bench.py) keeps dec2's exact
+    # sequential ordering: interiors must match the composed path; only the
+    # fold's single-pad border ring may differ.
+    os.environ["TUX_FOLD_PRE"] = "0"
+    try:
+        for kwargs in ({"upscale_factor": 3, "require_ratio": False},
+                       {"upscale_factor": 6, "require_ratio": False}):
+            y_c = m_c.apply(params, x, **kwargs)
+            y_f = m_p.apply(params, x, **kwargs)
+            r = kwargs["upscale_factor"]
+            ring = 4 * r
+            np.testing.assert_allclose(
+                np.asarray(y_f)[:, ring:-ring, ring:-ring],
+                np.asarray(y_c)[:, ring:-ring, ring:-ring],
+                rtol=1e-4, atol=2e-5)
+    finally:
+        os.environ.pop("TUX_FOLD_PRE", None)
 
 
 def test_packed_scale4_matches_exact_interior():

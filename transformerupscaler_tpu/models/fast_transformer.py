@@ -205,17 +205,18 @@ class FastTransformer(nn.Module):
         combined = feat + feat_trans
 
         dec = self.decoder_conv1(combined)
-        if (self.compose_tails and scale == 2
-                and not self.is_initializing()):
+        if self.compose_tails and not self.is_initializing():
             # Fold decoder_conv2 (3x3 64->3, no activation between — reference
             # model.py:313,316) into the upsampler's first conv: one
             # 128-lane-friendly composed conv instead of a 3-output-lane conv
             # followed by a 12-lane one (measured 2.5 + 1.3 ms -> ~1 ms).
-            # SCALE 2 ONLY: the fold expands MACs through the rank-3 RGB
-            # bottleneck (7x7 64->3r^2 vs 3x3 64->3 then 5x5 3->3r^2), which
-            # the larger scales pay 9-45x for — measured LOSSES at r>=3
-            # (tools/factored_tail_bench.py: x3 3.72 vs 2.57 ms, x4 4.51 vs
-            # 2.47, x6 5.41 vs 3.07), so they take the sequential branch.
+            # The fold expands MACs through the rank-3 RGB bottleneck at
+            # r >= 3, and OP-LEVEL probes said the factored sequential form
+            # wins there (tools/factored_tail_bench.py) — but the IN-MODEL
+            # same-process A/B says the fold wins or ties at every scale
+            # (tools/fold_ab_bench.py, post-squash-skip: x3 9.70 vs 10.64 ms,
+            # x4 12.01 vs 12.04, x6 15.06 vs 15.89), so it stays the default;
+            # TUX_FOLD_PRE=0 opts into the factored tail on the packed path.
             p2 = self.decoder_conv2.variables["params"]
             residual_up = self.final_upscale(
                 dec, scale,
@@ -595,21 +596,21 @@ class FastTransformer(nn.Module):
                                             ) + featp_packed()
 
         # Decoder tail: dec2 o (final_upscale chain o commuted tail) — e.g.
-        # 7x7 64->12 at scale 2 (all at base res). Folding dec2 in expands
-        # MACs through the rank-3 RGB bottleneck (7x7 64->3r^2 vs
-        # 3x3 64->3 then 5x5 3->3r^2): measured a WIN only at scale 2
-        # (pallas 7x7 1.93 vs factored 2.50 ms) and a loss at r>=3
-        # (x3 3.72 vs 2.57, x4 4.51 vs 2.47, x6 5.41 vs 3.07 —
-        # tools/factored_tail_bench.py), so larger scales run dec2 as a
-        # macro-32 packed conv followed by the (5,5,3,3r^2) composition.
-        # int8 scopes keep the folded kernel (their calibrated scales and
-        # GPTQ pre-quant weights are defined on it).
+        # 7x7 64->12 at scale 2, 7x7 64->3r^2 at larger scales (all at base
+        # res). The fold expands MACs through the rank-3 RGB bottleneck at
+        # r >= 3 and OP-LEVEL probes favored the factored sequential form
+        # there (dec2 macro-32 + 5x5 3->3r^2: x3 3.72 vs 2.57 ms, x4 4.51
+        # vs 2.47, x6 5.41 vs 3.07 — tools/factored_tail_bench.py), but the
+        # IN-MODEL same-process interleaved A/B (tools/fold_ab_bench.py,
+        # post-squash-skip) measured the fold winning or tying at every
+        # scale (x3 9.70 vs 10.64 ms, x4 12.01 vs 12.04, x6 15.06 vs
+        # 15.89) — the isolated probe's starting layouts don't survive
+        # producer/consumer fusion in context. Folded is the default;
+        # TUX_FOLD_PRE=0 keeps the factored routing runnable.
         pd1 = self.decoder_conv1.variables["params"]
         pd2 = self.decoder_conv2.variables["params"]
-        # TUX_FOLD_PRE=1 forces the folded kernel at every scale (the
-        # round-2 routing) for same-process A/B probing.
-        fold_pre = (scale == 2 or i8t or i8b or i8dt
-                    or _os.environ.get("TUX_FOLD_PRE") == "1")
+        fold_pre = (i8t or i8b or i8dt
+                    or _os.environ.get("TUX_FOLD_PRE", "1") != "0")
         if fold_pre:
             kc, bc = composed_tail_kernel(
                 self.final_upscale._params, scale,
