@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Quality gate for the SHIPPED headline serving config (bench.py default).
+
+bench.py's 120 fps number runs FastTransformer with bf16 + compose_tails +
+pallas_serve (stream kernels) + the paired fused2 trunk. The BASELINE.md
+north star is ">=120 fps at <=0.05 dB PSNR delta" — this tool measures that
+delta directly: PSNR-vs-ground-truth of the headline config against the
+reference-exact path (f32, no compose, XLA attention — the configuration
+whose output matches the PyTorch reference at 144-160 dB,
+tools/parity_check.py), on held-out real frames at the bench geometry.
+
+This isolates ALL headline deviations at once (bf16 compute + the
+compose-tails border ring + any Pallas kernel rounding), unlike
+tools/int8_quality.py whose f32 baseline already includes compose_tails.
+
+Usage:
+  python tools/headline_quality.py [--images N] [--res_out H,W]
+      [--checkpoint_dir D]
+"""
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def psnr(a, b, crop=0):
+    if crop:
+        a = a[crop:-crop, crop:-crop]
+        b = b[crop:-crop, crop:-crop]
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", type=int, default=6)
+    ap.add_argument("--res_out", type=str, default="1080,1920",
+                    help="output geometry H,W (input is 720p; default is "
+                         "the bench.py headline geometry)")
+    ap.add_argument("--checkpoint_dir", type=str, default=None)
+    ap.add_argument("--image_dir", type=str,
+                    default="/root/reference/images/training_set")
+    ap.add_argument("--attribute", choices=["coarse", "pallas"],
+                    default=None,
+                    help="also run intermediate configs: 'coarse' splits "
+                         "the GT delta between the compose border ring and "
+                         "bf16 compute; 'pallas' splits it between the "
+                         "stream conv kernels and the fused2 trunk")
+    ap.add_argument("--crop", type=int, default=6,
+                    help="border crop for the interior PSNR column "
+                         "(the compose-tails deviation is a 1-px ring)")
+    args = ap.parse_args()
+
+    from PIL import Image
+    import jax.numpy as jnp
+    from transformerupscaler_tpu.infer_lib import UpscalerEngine
+
+    paths = sorted(glob.glob(os.path.join(args.image_dir, "*.png")))
+    paths = paths[:args.images]
+    res_out = tuple(int(v) for v in args.res_out.split(","))
+
+    # Reference-exact path: f32, no compose, XLA attention (parity config).
+    eng_exact = UpscalerEngine("FastTransformer", dtype=jnp.float32,
+                               checkpoint_dir=args.checkpoint_dir)
+    # The bench.py headline serving config, byte-for-byte.
+    eng_head = UpscalerEngine("FastTransformer", dtype=jnp.bfloat16,
+                              checkpoint_dir=args.checkpoint_dir,
+                              compose_tails=True, pallas_serve=True,
+                              attn_impl="fused2")
+    extra = {}
+    if args.attribute == "coarse":
+        extra["compose_f32"] = UpscalerEngine(
+            "FastTransformer", dtype=jnp.float32,
+            checkpoint_dir=args.checkpoint_dir, compose_tails=True)
+        extra["bf16_only"] = UpscalerEngine(
+            "FastTransformer", dtype=jnp.bfloat16,
+            checkpoint_dir=args.checkpoint_dir)
+    elif args.attribute == "pallas":
+        # Which Pallas component carries the headline's GT delta: the
+        # stream conv kernels (pallas_serve, XLA attention) or the fused2
+        # trunk megakernel (XLA convs, fused2 attention)?
+        extra["stream_only"] = UpscalerEngine(
+            "FastTransformer", dtype=jnp.bfloat16,
+            checkpoint_dir=args.checkpoint_dir,
+            compose_tails=True, pallas_serve=True)
+        extra["fused2_only"] = UpscalerEngine(
+            "FastTransformer", dtype=jnp.bfloat16,
+            checkpoint_dir=args.checkpoint_dir,
+            compose_tails=True, attn_impl="fused2")
+    print(f"checkpoint: {eng_exact.checkpoint_path}  res_out={res_out}",
+          flush=True)
+
+    def load(p, wh):
+        return np.asarray(Image.open(p).convert("RGB").resize(
+            wh, Image.BICUBIC), np.float32) / 255.0
+
+    rows = []
+    for p in paths:
+        lr = load(p, (1280, 720))
+        gt = load(p, (res_out[1], res_out[0]))
+        y_e = np.asarray(eng_exact.upscale(lr, res_out=res_out),
+                         np.float32)
+        y_h = np.asarray(eng_head.upscale(lr, res_out=res_out), np.float32)
+        row = {
+            "image": os.path.basename(p),
+            "psnr_head_vs_exact": psnr(y_h, y_e),
+            "psnr_exact_gt": psnr(y_e, gt),
+            "psnr_head_gt": psnr(y_h, gt),
+        }
+        row["delta_gt"] = row["psnr_exact_gt"] - row["psnr_head_gt"]
+        c = args.crop
+        row["delta_gt_interior"] = (psnr(y_e, gt, c) - psnr(y_h, gt, c))
+        attr = ""
+        for name, eng in extra.items():
+            y_a = np.asarray(eng.upscale(lr, res_out=res_out), np.float32)
+            row[f"delta_{name}"] = row["psnr_exact_gt"] - psnr(y_a, gt)
+            attr += f"   {name} {row[f'delta_{name}']:+.4f}"
+        rows.append(row)
+        print(f"{row['image']:20s} head-vs-exact "
+              f"{row['psnr_head_vs_exact']:6.2f} dB"
+              f"   exact-vs-GT {row['psnr_exact_gt']:6.2f}"
+              f"   head-vs-GT {row['psnr_head_gt']:6.2f}"
+              f"   delta {row['delta_gt']:+.4f} dB"
+              f" (interior {row['delta_gt_interior']:+.4f}){attr}",
+              flush=True)
+
+    d = [r["delta_gt"] for r in rows]
+    di = [r["delta_gt_interior"] for r in rows]
+    f = [r["psnr_head_vs_exact"] for r in rows]
+    print(f"\nmean PSNR(headline, exact) = {np.mean(f):.2f} dB; "
+          f"mean GT delta = {np.mean(d):+.4f} dB "
+          f"(max {max(d):+.4f}, min {min(d):+.4f}); "
+          f"interior (crop {args.crop}) mean {np.mean(di):+.4f} dB "
+          f"(max {max(di):+.4f})", flush=True)
+    for name in extra:
+        da = [r[f"delta_{name}"] for r in rows]
+        print(f"attribution {name}: mean {np.mean(da):+.4f} dB "
+              f"(max {max(da):+.4f}, min {min(da):+.4f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -221,7 +221,7 @@ class FastTransformer(nn.Module):
             residual_up = self.final_upscale(
                 dec, scale,
                 tail_kernel=self.final_upscale_conv_kernel,
-                tail_bias=self.final_upscale_conv_bias.astype(self.dtype),
+                tail_bias=self.final_upscale_conv_bias,
                 compose_tail=True,
                 return_preshuffle=squash,
                 pre_kernel=p2["kernel"], pre_bias=p2["bias"])
@@ -230,7 +230,7 @@ class FastTransformer(nn.Module):
             residual_up = self.final_upscale(
                 residual, scale,
                 tail_kernel=self.final_upscale_conv_kernel,
-                tail_bias=self.final_upscale_conv_bias.astype(self.dtype),
+                tail_bias=self.final_upscale_conv_bias,
                 compose_tail=self.compose_tails,
                 return_preshuffle=squash)
 

@@ -83,14 +83,21 @@ class Upsampler(nn.Module):
                 from transformerupscaler_tpu.ops.conv import (
                     compose_conv3x3_kernels,
                 )
+                # Compose in f32 and cast the RESULT once at use: composing
+                # in bf16 accumulates rounding through the 64-term channel
+                # contraction (~sqrt(64) x one rounding) and measured a
+                # systematic +0.2 dB GT PSNR loss (tools/headline_quality.py
+                # --attribute coarse/pallas: bf16-factored and f32-composed
+                # are both free; bf16-composed carries the whole delta).
                 k, b = compose_conv3x3_kernels(
-                    pre_kernel.astype(x.dtype),
-                    None if pre_bias is None else pre_bias.astype(x.dtype),
-                    k.astype(x.dtype), b.astype(x.dtype))
+                    pre_kernel.astype(jnp.float32),
+                    None if pre_bias is None else pre_bias.astype(
+                        jnp.float32),
+                    k.astype(jnp.float32), b.astype(jnp.float32))
                 pad = (k.shape[0] - 1) // 2
             if tail_kernel is not None and last:
-                tk = commute_conv_through_shuffle(
-                    tail_kernel.astype(x.dtype), shuffle)
+                tkf = commute_conv_through_shuffle(
+                    tail_kernel.astype(jnp.float32), shuffle)
                 tb = (jnp.repeat(tail_bias, shuffle * shuffle)
                       if tail_bias is not None else None)
                 if compose_tail:
@@ -98,12 +105,17 @@ class Upsampler(nn.Module):
                         compose_conv3x3_kernels,
                     )
                     kc, bc = compose_conv3x3_kernels(
-                        k.astype(x.dtype), b.astype(x.dtype), tk, tb)
-                    x = conv2d(x, kc, bc, stride=1,
-                               padding=(kc.shape[0] - 1) // 2, relu=tail_relu)
+                        k.astype(jnp.float32), b.astype(jnp.float32),
+                        tkf, None if tb is None else tb.astype(jnp.float32))
+                    x = conv2d(x, kc.astype(x.dtype),
+                               None if bc is None else bc.astype(x.dtype),
+                               stride=1, padding=(kc.shape[0] - 1) // 2,
+                               relu=tail_relu)
                 else:
                     x = conv2d(x, k, b, stride=1, padding=pad)
-                    x = conv2d(x, tk, tb, stride=1, padding=1, relu=tail_relu)
+                    x = conv2d(x, tkf.astype(x.dtype),
+                               None if tb is None else tb.astype(x.dtype),
+                               stride=1, padding=1, relu=tail_relu)
             else:
                 x = conv2d(x, k, b, stride=1, padding=pad)
             if return_preshuffle and last:
@@ -144,21 +156,26 @@ def composed_tail_kernel(up_params: dict, scale: int, tail_kernel, tail_bias,
     from transformerupscaler_tpu.ops.conv import compose_conv3x3_kernels
 
     stages = _STAGES[scale]
-    tb = None if tail_bias is None else tail_bias.astype(dtype)
-    tk = tail_kernel.astype(dtype)
+    # All composition arithmetic runs in f32; the composed result is cast to
+    # ``dtype`` ONCE on return. Composing in bf16 accumulates rounding
+    # through the channel contraction and measured a systematic +0.2 dB GT
+    # PSNR loss on the serving path (tools/headline_quality.py).
+    cf = jnp.float32
+    tb = None if tail_bias is None else tail_bias.astype(cf)
+    tk = tail_kernel.astype(cf)
     if len(stages) == 1:
         r = stages[0][1]
         tko = commute_conv_through_shuffle(tk, r)
         tbo = None if tb is None else jnp.repeat(tb, r * r)
-        k0 = up_params[f"s{scale}_c0_kernel"].astype(dtype)
-        b0 = up_params[f"s{scale}_c0_bias"].astype(dtype)
+        k0 = up_params[f"s{scale}_c0_kernel"].astype(cf)
+        b0 = up_params[f"s{scale}_c0_bias"].astype(cf)
         kc, bc = compose_conv3x3_kernels(k0, b0, tko, tbo)
     else:
         assert scale == 4 and len(stages) == 2
-        k0 = up_params["s4_c0_kernel"].astype(dtype)
-        b0 = up_params["s4_c0_bias"].astype(dtype)
-        k1 = up_params["s4_c1_kernel"].astype(dtype)
-        b1 = up_params["s4_c1_bias"].astype(dtype)
+        k0 = up_params["s4_c0_kernel"].astype(cf)
+        b0 = up_params["s4_c0_bias"].astype(cf)
+        k1 = up_params["s4_c1_kernel"].astype(cf)
+        b1 = up_params["s4_c1_bias"].astype(cf)
         o = tk.shape[3]
         # Tail through the second shuffle, composed with stage 2 (at 2x res).
         t2 = commute_conv_through_shuffle(tk, 2)
@@ -183,6 +200,6 @@ def composed_tail_kernel(up_params: dict, scale: int, tail_kernel, tail_bias,
         bc = None if bc is None else bc[perm]
     if pre_kernel is not None:
         kc, bc = compose_conv3x3_kernels(
-            pre_kernel.astype(dtype),
-            None if pre_bias is None else pre_bias.astype(dtype), kc, bc)
-    return kc, bc
+            pre_kernel.astype(cf),
+            None if pre_bias is None else pre_bias.astype(cf), kc, bc)
+    return kc.astype(dtype), None if bc is None else bc.astype(dtype)
