@@ -45,7 +45,8 @@ def main():
     ap.add_argument("--checkpoint_dir", type=str, default=None)
     ap.add_argument("--image_dir", type=str,
                     default="/root/reference/images/training_set")
-    ap.add_argument("--attribute", choices=["coarse", "pallas"],
+    ap.add_argument("--attribute",
+                    choices=["coarse", "pallas", "compose_bf16"],
                     default=None,
                     help="also run intermediate configs: 'coarse' splits "
                          "the GT delta between the compose border ring and "
@@ -80,6 +81,14 @@ def main():
         extra["bf16_only"] = UpscalerEngine(
             "FastTransformer", dtype=jnp.bfloat16,
             checkpoint_dir=args.checkpoint_dir)
+    elif args.attribute == "compose_bf16":
+        # The remaining cell: bf16 + compose_tails with pure-XLA execution
+        # (no Pallas kernels at all). If this arm carries the post-fix
+        # residual delta, the cause is the composed-conv execution itself;
+        # if it measures ~0, the residual lives in the Pallas kernels.
+        extra["compose_bf16"] = UpscalerEngine(
+            "FastTransformer", dtype=jnp.bfloat16,
+            checkpoint_dir=args.checkpoint_dir, compose_tails=True)
     elif args.attribute == "pallas":
         # Which Pallas component carries the headline's GT delta: the
         # stream conv kernels (pallas_serve, XLA attention) or the fused2
