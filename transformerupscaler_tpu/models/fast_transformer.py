@@ -376,6 +376,15 @@ class FastTransformer(nn.Module):
         import os as _os
 
         _pp = _os.environ.get("TUX_PALLAS_PATCH", "embed,unembed")
+
+        def _tail_odt():
+            # TUX_F32_TAIL=1: the two branch tails emit f32 (compute stays
+            # bf16 GEMMs + f32 accumulation), so the branch add, the squash
+            # resize, and the clip all run at f32 — the output image never
+            # round-trips bf16. Quality experiment for the headline's
+            # +0.07 dB Pallas-boundary residue (PERFORMANCE.md).
+            return (jnp.float32
+                    if _os.environ.get("TUX_F32_TAIL", "0") == "1" else None)
         pallas_patch = use_pallas and self.patch_size == 8
         pallas_tails = use_pallas and not direct_tails
         # The tails scope needs the full deint pipeline: Pallas tails AND
@@ -526,7 +535,8 @@ class FastTransformer(nn.Module):
                     out_dtype=dt, block=blk,
                     pre_q=pq.get(f"tailA_s{scale}"))
         elif pallas_tails:
-            a12 = tail_macro8_stream(feat_t, ka, ba, relu=True)
+            a12 = tail_macro8_stream(feat_t, ka, ba, relu=True,
+                                     out_dtype=_tail_odt())
         elif i8dt:
             from transformerupscaler_tpu.ops.conv import conv2d_int8
 
@@ -684,7 +694,8 @@ class FastTransformer(nn.Module):
                                              pd1["kernel"].astype(dt),
                                              pd1["bias"], relu=True)
                 if fold_pre:
-                    b12 = tail_macro8_stream(dec_d, kc, bc)
+                    b12 = tail_macro8_stream(dec_d, kc, bc,
+                                             out_dtype=_tail_odt())
                 else:
                     # Factored tail is all-XLA; Pallas -> transpose -> XLA
                     # conv is the clean crossing direction.

@@ -96,7 +96,7 @@ def conv3x3_packed_stream(xp: jnp.ndarray, kernel, bias,
         rows = 8
     dt = xp.dtype
     w = pack_conv3(kernel).astype(dt)
-    bp = jnp.tile(jnp.asarray(bias, dt).reshape(1, 64), (1, 2))
+    bp = jnp.tile(jnp.asarray(bias, jnp.float32).reshape(1, 64), (1, 2))
     out = pl.pallas_call(
         partial(_conv_kernel, wp2=wp2, rows=rows, relu=relu),
         grid=(b, h // rows),
@@ -268,7 +268,7 @@ def unembed_combine_stream(tokens: jnp.ndarray, featd: jnp.ndarray,
     kperm = (jnp.asarray(kernel).reshape(d, ps, ps // 2, 2, c)
              .reshape(d, ps * ps * c).astype(dt))
     bp = jnp.tile(jnp.asarray(bias if bias is not None else
-                              jnp.zeros((c,), dt), dt).reshape(1, c),
+                              jnp.zeros((c,)), jnp.float32).reshape(1, c),
                   (1, 2))
     in_specs = [
         pl.BlockSpec((1, 1, wt, d), lambda nb, i: (nb, i, 0, 0),
@@ -347,8 +347,8 @@ def embed_stream(featd: jnp.ndarray, kernel, bias=None,
     # Row order (dy, px, parity, ch), matching the deinterleaved reads.
     kperm = (jnp.asarray(kernel).reshape(ps, ps // 2, 2, c, d)
              .reshape(ps * ps * c, d).astype(dt))
-    bp = jnp.asarray(bias if bias is not None else jnp.zeros((d,), dt),
-                     dt).reshape(1, d)
+    bp = jnp.asarray(bias if bias is not None else jnp.zeros((d,)),
+                     jnp.float32).reshape(1, d)
     in_specs = [
         pl.BlockSpec((1, ps, 4, gg, 128),
                      lambda nb, i: (nb, i, 0, 0, 0),
@@ -756,6 +756,7 @@ def _tail_kernel(cur, above, below, w, bias, out, slab, *, g_img, pad_h,
 
 def tail_macro8_stream(xt: jnp.ndarray, kernel, bias=None,
                        relu: bool = False, rows: int | None = None,
+                       out_dtype=None,
                        interpret: bool | None = None) -> jnp.ndarray:
     """Composed-tail conv as macro-8 GEMMs, row-streamed.
 
@@ -765,6 +766,10 @@ def tail_macro8_stream(xt: jnp.ndarray, kernel, bias=None,
     H % rows == 0, rows % 4 == 0; pad_h = (kh-1)/2 <= 4. rows swept on
     v5e @720p (5x5/7x7): 8 -> 1.70/2.58 ms, 16 -> 1.85/2.34,
     24 -> 0.97/1.69, 48 -> 1.76/-; XLA block-8: 1.85/2.39.
+
+    out_dtype: optional override for the OUTPUT dtype only (compute is
+    bf16 GEMMs with f32 accumulation either way) — f32 output skips the
+    final bf16 rounding of the branch image (TUX_F32_TAIL experiment).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -774,13 +779,17 @@ def tail_macro8_stream(xt: jnp.ndarray, kernel, bias=None,
     if h % rows:
         rows = 8
     dt = xt.dtype
+    odt = out_dtype or dt
     kh, kw, cin, co = kernel.shape
     pad_h = (kh - 1) // 2
     w, boff = pack_tail_macro8(kernel)
     w = w.astype(dt)
+    # Bias stays f32: the kernel epilogue adds it at f32 anyway, and the
+    # composed-tail biases carry summed composition terms whose bf16
+    # rounding would be a systematic offset on every output pixel.
     bp = jnp.tile(
-        jnp.asarray(bias if bias is not None else jnp.zeros((co,)), dt)
-        .reshape(1, co), (1, 8))
+        jnp.asarray(bias if bias is not None else jnp.zeros((co,)),
+                    jnp.float32).reshape(1, co), (1, 8))
 
     nr = rows // 4
     last = h // 4 - 1
@@ -805,7 +814,7 @@ def tail_macro8_stream(xt: jnp.ndarray, kernel, bias=None,
         out_specs=pl.BlockSpec((1, rows, g_img, 8 * co),
                                lambda nb, i: (nb, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, g_img, 8 * co), dt),
+        out_shape=jax.ShapeDtypeStruct((b, h, g_img, 8 * co), odt),
         scratch_shapes=[pltpu.VMEM((rows + 2 * pad_h, 4, g_img + 2, 128),
                                    dt)],
         compiler_params=pltpu.CompilerParams(
