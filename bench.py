@@ -10,10 +10,13 @@ pipeline with the Pallas stream kernels (ops/pallas/stream.py: dots conv1,
 row-streamed conv, macro-8 tails, patch embed/unembed GEMM kernels) and
 the fused2 trunk megakernel (ops/pallas/trunk2.py), pure bf16.
 Quality: implementation parity is 144-160 dB vs the PyTorch reference at
-f32 on the exact path; this serving config's measured ground-truth cost is
-+0.11 dB mean PSNR (+0.075 interior) vs the exact path on held-out frames
-(tools/headline_quality.py — the bf16 effect and the compose border ring
-each measure ~0 in isolation; see PERFORMANCE.md's quality-gate section). Set TUX_BENCH_CONFIG=int8_residual for the int8
+f32 on the exact path; this serving config runs at ~55 dB fidelity to that
+path, whose measured ground-truth cost equals the statistical noise floor
+of that fidelity — +0.03..+0.11 dB mean depending on the frame set,
+interior ~0 on the attribution set (tools/headline_quality.py; the floor
+law and per-config numbers are in PERFORMANCE.md's quality-gate section).
+TUX_F32_TAIL=1 raises fidelity to ~57 dB for ~0.1 ms.
+Set TUX_BENCH_CONFIG=int8_residual for the int8
 residual-scope mode (+0.07 dB GT PSNR delta, tools/int8_quality.py) or
 int8_full (full-scope static int8, mean GT delta -0.02 dB); calibration
 (dynamic-quant frames) happens at setup like compilation and is excluded
