@@ -773,14 +773,19 @@ def tail_macro8_stream(xt: jnp.ndarray, kernel, bias=None,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    kh, kw, cin, co = kernel.shape
     if rows is None:
-        rows = int(os.environ.get("TUX_TAIL_ROWS", "24"))
+        # Row sweep on v5e @720p (tools/conv_rows_sweep.py, same-process):
+        # the 5x5 tail prefers 24 (0.97 ms), the 7x7 tail 16 (1.638 vs
+        # 1.700 at 24, 2.068 at 48) — the taller halo shrinks the optimal
+        # cell. TUX_TAIL_ROWS overrides both.
+        dflt = "16" if kh >= 7 else "24"
+        rows = int(os.environ.get("TUX_TAIL_ROWS", dflt))
     b, h, _, g_img, _ = xt.shape
     if h % rows:
         rows = 8
     dt = xt.dtype
     odt = out_dtype or dt
-    kh, kw, cin, co = kernel.shape
     pad_h = (kh - 1) // 2
     w, boff = pack_tail_macro8(kernel)
     w = w.astype(dt)
