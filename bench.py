@@ -56,12 +56,17 @@ def main():
     res_out = (1080, 1920)
     config = os.environ.get("TUX_BENCH_CONFIG", "bf16")
     key = jax.random.PRNGKey(0)
-    x = jax.random.uniform(key, (1, 720, 1280, 3), jnp.bfloat16)
+    # "quality" = serve_quality mode: f32 input (the exact hi/lo conv1
+    # consumes the unrounded image), f32 tails/squash/clip — the recorded
+    # joint-north-star config (>=120 fps at <=0.05 dB, BASELINE.md).
+    x_dt = jnp.float32 if config == "quality" else jnp.bfloat16
+    x = jax.random.uniform(key, (1, 720, 1280, 3), x_dt)
 
     t0 = time.perf_counter()
     base = get_model("FastTransformer", dtype=jnp.bfloat16,
                      compose_tails=True, pallas_serve=True,
-                     attn_impl="fused2")
+                     attn_impl="fused2",
+                     serve_quality=(config == "quality"))
     params = base.init(key, x, res_out=res_out)
 
     int8_trunk = config.endswith("_trunk")

@@ -153,3 +153,37 @@ def test_dropout_only_active_when_not_deterministic():
     c = model.apply(params, x, upscale_factor=2, deterministic=False,
                     rngs={"dropout": jax.random.PRNGKey(1)})
     assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_fast_transformer_serve_quality_mode():
+    """serve_quality: f32 input + hi/lo conv1, f32 tails, HIGHEST squash.
+    Gate: runs the packed pallas path on an f32 input and lands at least as
+    close to the exact f32 path as the plain bf16 headline config
+    (interior; the compose ring is a shared deviation)."""
+    import jax
+    import jax.numpy as jnp
+
+    from transformerupscaler_tpu.registry import get_model
+
+    key = jax.random.PRNGKey(3)
+    x = jax.random.uniform(key, (1, 24, 32, 3), jnp.float32)
+    res_out = (36, 48)  # real squash (3/4 of 2x), like the headline
+    exact = get_model("FastTransformer", dtype=jnp.float32)
+    params = exact.init(key, x, res_out=res_out)
+    y_e = np.asarray(exact.apply(params, x, res_out=res_out), np.float32)
+
+    head = get_model("FastTransformer", dtype=jnp.bfloat16,
+                     compose_tails=True, pallas_serve=True)
+    y_h = np.asarray(head.apply(params, x.astype(jnp.bfloat16),
+                                res_out=res_out), np.float32)
+    qual = get_model("FastTransformer", dtype=jnp.bfloat16,
+                     compose_tails=True, pallas_serve=True,
+                     serve_quality=True)
+    y_q = np.asarray(qual.apply(params, x, res_out=res_out), np.float32)
+
+    def mse(a, b, c=8):
+        return np.mean((a[:, c:-c, c:-c] - b[:, c:-c, c:-c]) ** 2)
+
+    assert y_q.shape == y_e.shape
+    assert mse(y_q, y_e) <= mse(y_h, y_e) * 1.05, (mse(y_q, y_e),
+                                                   mse(y_h, y_e))

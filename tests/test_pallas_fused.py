@@ -583,3 +583,33 @@ def test_bicubic_upscale_conv_packed_exact(rng):
         got = pixel_shuffle(bicubic_upscale_conv_packed(x, r), r)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_fused_trunk_v2_chunked_matches_xla_blocks(rng):
+    """TUX_TRUNK_CHUNK=1 (per-pair chunked layer bodies) is the same
+    reduction set as the paired kernel — must match the XLA block loop."""
+    import os
+
+    from transformerupscaler_tpu.models.common import WindowBlock
+    from transformerupscaler_tpu.ops.pallas.trunk2 import fused_window_trunk_v2
+
+    key = jax.random.PRNGKey(13)
+    win = jax.random.uniform(key, (10, 64, 192), jnp.float32)
+    blocks = [WindowBlock(192, 8, 12, dropout=0.0, dtype=jnp.float32)
+              for _ in range(2)]
+    params, outs = [], win
+    for i, blk in enumerate(blocks):
+        p = blk.init(jax.random.PRNGKey(i), outs)
+        outs = blk.apply(p, outs)
+        params.append(p["params"])
+
+    os.environ["TUX_TRUNK_CHUNK"] = "1"
+    try:
+        for wpc in (4, 8):
+            got = fused_window_trunk_v2(win, params, num_heads=12,
+                                        window_size=8,
+                                        windows_per_cell=wpc, pair=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(outs),
+                                       rtol=2e-4, atol=2e-5)
+    finally:
+        del os.environ["TUX_TRUNK_CHUNK"]

@@ -352,3 +352,84 @@ def test_window_pallas_serve_matches_xla(rng):
     want = np.asarray(m_x.apply(params, x, res_out=(96, 128)))
     got = np.asarray(m_p.apply(params, x, res_out=(96, 128)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_tail_macro8_stream_f32_out_dtype(rng):
+    """out_dtype=f32 emits f32 and matches the bf16-output path's values
+    (compute is identical bf16 GEMMs + f32 accumulation; only the final
+    store rounds) — the TUX_F32_TAIL / serve_quality output stage."""
+    xp = _packed(rng, h=16, w=64)
+    k = jnp.asarray(rng.standard_normal((5, 5, 64, 12)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(12).astype(np.float32))
+    xt = deinterleave4(xp).astype(jnp.bfloat16)
+    got_bf = tail_macro8_stream(xt, k, b, relu=True, rows=8, interpret=True)
+    got_f32 = tail_macro8_stream(xt, k, b, relu=True, rows=8,
+                                 out_dtype=jnp.float32, interpret=True)
+    assert got_bf.dtype == jnp.bfloat16
+    assert got_f32.dtype == jnp.float32
+    # f32 output = the same pre-store values, so bf16(f32_out) == bf16_out.
+    np.testing.assert_array_equal(
+        np.asarray(got_f32.astype(jnp.bfloat16).astype(jnp.float32)),
+        np.asarray(got_bf.astype(jnp.float32)))
+
+
+def test_conv3x3_tail_stream_f32_out_dtype(rng):
+    """The fused conv+tail kernel honors out_dtype (ADVICE r3: TUX_F32_TAIL
+    was silently ignored on the TUX_FUSE_STREAM path)."""
+    from transformerupscaler_tpu.ops.pallas.stream import (
+        conv3x3_tail_emit_stream,
+        conv3x3_tail_stream,
+    )
+
+    xp = _packed(rng, h=16, w=64)
+    kc = jnp.asarray(rng.standard_normal((3, 3, 64, 64)).astype(np.float32) * 0.1)
+    bc = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    kt = jnp.asarray(rng.standard_normal((5, 5, 64, 12)).astype(np.float32) * 0.1)
+    xt = deinterleave4(xp).astype(jnp.bfloat16)
+    out = conv3x3_tail_stream(xt, kc, bc, kt, rows=8,
+                              out_dtype=jnp.float32, interpret=True)
+    assert out.dtype == jnp.float32
+    out2, feat = conv3x3_tail_emit_stream(xt, kc, bc, kt, rows=8,
+                                          out_dtype=jnp.float32,
+                                          interpret=True)
+    assert out2.dtype == jnp.float32 and feat.dtype == jnp.bfloat16
+
+
+def test_stream_rows_fallback_prefers_swept_sizes():
+    """H not divisible by the preferred row count falls back through the
+    other swept sizes, not straight to the slowest 8 (ADVICE r3)."""
+    rng = np.random.default_rng(5)
+    xp = jnp.asarray(rng.standard_normal((1, 24, 32, 128)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((7, 7, 64, 12)).astype(np.float32) * 0.1)
+    # h=24: kh>=7 prefers rows=16 which doesn't divide 24 -> should pick 24.
+    want = conv2d_tail_packed(xp, k, None, block=8)
+    got = tail_macro8_stream(deinterleave4(xp), k, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(np.asarray(want).shape), np.asarray(want),
+        rtol=1e-4, atol=2e-5)
+
+
+def test_conv2d_packed_dots_deint_hi_lo_exact(rng):
+    """hi/lo-split conv1 matches the f32 conv to ~2^-16 relative (the
+    dropped lo*lo term) — far tighter than one bf16 rounding."""
+    from transformerupscaler_tpu.ops.conv import (
+        conv2d_packed_dots_deint,
+        conv2d_packed_raw,
+    )
+    from transformerupscaler_tpu.ops.pallas.stream import interleave4
+
+    x = rng.standard_normal((1, 16, 32, 3)).astype(np.float32)
+    xp = jnp.asarray(x.reshape(1, 16, 16, 6))
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 64)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    want = np.asarray(conv2d_packed_raw(xp, k, b, relu=True), np.float32)
+    got = np.asarray(interleave4(
+        conv2d_packed_dots_deint(xp, k, b, relu=True, hi_lo=True,
+                                 out_dtype=jnp.float32)), np.float32)
+    # hi/lo error ~2^-16 relative; one bf16 rounding would be ~2^-8.
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+    err_hilo = np.max(np.abs(got - want))
+    bf16_once = np.asarray(
+        jnp.asarray(want).astype(jnp.bfloat16).astype(jnp.float32))
+    err_bf16 = np.max(np.abs(bf16_once - want))
+    assert err_hilo < err_bf16 / 8, (err_hilo, err_bf16)

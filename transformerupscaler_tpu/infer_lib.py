@@ -37,7 +37,7 @@ class UpscalerEngine:
                  compose_tails: bool = False, int8_mlp: bool = False,
                  pallas_serve: bool = False, packed_serve: bool = False,
                  int8_serve: bool = False, int8_scope: str = "full",
-                 int8_trunk: bool = False):
+                 int8_trunk: bool = False, serve_quality: bool = False):
         self.model_name = model_name
         # int8_serve runs inside the packed fast path; imply its gate.
         compose_tails = compose_tails or int8_serve
@@ -46,6 +46,11 @@ class UpscalerEngine:
             int8_mlp=int8_mlp, pallas_serve=pallas_serve,
             packed_serve=packed_serve, int8_serve=int8_serve,
             int8_scope=int8_scope, int8_trunk=int8_trunk)
+        # serve_quality is a FastTransformer-only field; other models don't
+        # define it (and it implies keeping the INPUT f32 — see upscale).
+        self._serve_quality = serve_quality and model_name == "FastTransformer"
+        if self._serve_quality:
+            self._model_kwargs["serve_quality"] = True
         self.model = get_model(model_name, **self._model_kwargs)
         # The no-baked-scales model: calibration passes sow DYNAMIC scales
         # through this even after static scales are baked into self.model.
@@ -142,7 +147,10 @@ class UpscalerEngine:
             x = x.astype(np.float32) / 255.0
         if squeeze:
             x = x[None]
-        xj = jnp.asarray(x, dtype=self.dtype)
+        # serve_quality consumes the UNROUNDED f32 input (the model's exact
+        # conv1 splits it hi/lo); everything downstream still runs bf16.
+        in_dt = jnp.float32 if self._serve_quality else self.dtype
+        xj = jnp.asarray(x, dtype=in_dt)
 
         res_out, upscale_factor = self._normalize_call(xj.shape, res_out, upscale_factor)
         self._warn_if_fast_gate_misses(xj.shape, res_out, upscale_factor)

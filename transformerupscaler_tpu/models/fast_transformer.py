@@ -15,6 +15,7 @@ always runs. ``fix_ratio_bug=True`` restores the intended comparison.
 """
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from transformerupscaler_tpu.models.common import (
@@ -103,6 +104,19 @@ class FastTransformer(nn.Module):
     # RGB tail into one 5x5 conv (~2x on those stages; a 1-pixel ring at
     # feature resolution deviates from the exact sequential form).
     compose_tails: bool = False
+    # Quality serving mode (pallas_serve deint path only; also env
+    # TUX_SERVE_QUALITY=1): removes the IMAGE-LEVEL bf16 roundings that the
+    # floor law says bound the headline's GT PSNR delta (PERFORMANCE.md
+    # quality-gate section) at near-zero fps cost:
+    #   - conv1 runs hi/lo-split f32-accurate dots on the UNROUNDED f32
+    #     input (conv.conv2d_packed_dots_deint hi_lo — one extra MXU depth
+    #     tile; kills both the input-cast and conv1-weight rounding);
+    #   - both branch tails emit f32 (TUX_F32_TAIL semantics), so the
+    #     branch add / squash / clip never round the image through bf16;
+    #   - the squash resize einsums run at Precision.HIGHEST (f32 operands;
+    #     the default TPU precision would re-round the f32 image to bf16
+    #     inside the matmul).
+    serve_quality: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -143,6 +157,7 @@ class FastTransformer(nn.Module):
                  upscale_factor: int | None = None, require_ratio: bool = True,
                  deterministic: bool = True) -> jnp.ndarray:
         res_out, scale = resolve_geometry(x.shape[1:3], res_out, upscale_factor)
+        x_in = x  # pre-cast input: serve_quality's exact conv1 reads it
         x = x.astype(self.dtype)
 
         h_feat, w_feat = x.shape[1:3]
@@ -151,7 +166,8 @@ class FastTransformer(nn.Module):
                 and deterministic and not self.is_initializing()
                 and scale in (2, 3, 4, 6) and h_feat % self.patch_size == 0
                 and w_feat % 16 == 0):
-            return self._packed_forward(x, res_out, scale, require_ratio)
+            return self._packed_forward(x, res_out, scale, require_ratio,
+                                        x_in=x_in)
 
         feat = self.conv2(self.conv1(x))
         h_feat, w_feat = feat.shape[1:3]
@@ -242,7 +258,7 @@ class FastTransformer(nn.Module):
         return jnp.clip(out, 0.0, 1.0)
 
     # ------------------------------------------------------------------
-    def _packed_forward(self, x, res_out, scale, require_ratio):
+    def _packed_forward(self, x, res_out, scale, require_ratio, x_in=None):
         """All-XLA serving path on the width-2-packed layout, scales 2/3/4/6.
 
         Same math as the compose_tails path (composed branch tails;
@@ -376,15 +392,20 @@ class FastTransformer(nn.Module):
         import os as _os
 
         _pp = _os.environ.get("TUX_PALLAS_PATCH", "embed,unembed")
+        # serve_quality (see the class field docstring): f32-image serving.
+        quality = (self.serve_quality
+                   or _os.environ.get("TUX_SERVE_QUALITY", "0") == "1")
 
         def _tail_odt():
             # TUX_F32_TAIL=1: the two branch tails emit f32 (compute stays
             # bf16 GEMMs + f32 accumulation), so the branch add, the squash
             # resize, and the clip all run at f32 — the output image never
             # round-trips bf16. Quality experiment for the headline's
-            # +0.07 dB Pallas-boundary residue (PERFORMANCE.md).
+            # +0.07 dB Pallas-boundary residue (PERFORMANCE.md); implied by
+            # serve_quality.
             return (jnp.float32
-                    if _os.environ.get("TUX_F32_TAIL", "0") == "1" else None)
+                    if quality
+                    or _os.environ.get("TUX_F32_TAIL", "0") == "1" else None)
         pallas_patch = use_pallas and self.patch_size == 8
         pallas_tails = use_pallas and not direct_tails
         # The tails scope needs the full deint pipeline: Pallas tails AND
@@ -451,7 +472,7 @@ class FastTransformer(nn.Module):
 
             a12, feat_t = conv3x3_tail_emit_stream(
                 deinterleave4(feat1), p2["kernel"].astype(dt), p2["bias"],
-                ka, ba)
+                ka, ba, out_dtype=_tail_odt())
         elif enc_deint:
             # Deint-native conv2: the whole Pallas pipeline downstream
             # (tails, patch kernels, decoder) reads the deinterleave4
@@ -467,8 +488,17 @@ class FastTransformer(nn.Module):
             # conv1 emits the deinterleave4 layout via contiguous-slice
             # im2col GEMMs (only the 5.5 MB INPUT is transposed) — the
             # GEMM-output transpose measured ~0.6 ms un-fused in-context.
-            f1d = conv2d_packed_dots_deint(xp, p1["kernel"].astype(dt),
-                                           p1["bias"], relu=True)
+            if quality and x_in is not None and x_in.dtype == jnp.float32:
+                # serve_quality: hi/lo-split f32-accurate conv1 on the
+                # UNROUNDED input (the bf16 input cast and conv1 weight
+                # rounding are two of the image-level error floors).
+                xp_q = x_in.reshape(b, h, w // 2, 2 * cin)
+                f1d = conv2d_packed_dots_deint(xp_q, p1["kernel"],
+                                               p1["bias"], relu=True,
+                                               hi_lo=True, out_dtype=dt)
+            else:
+                f1d = conv2d_packed_dots_deint(xp, p1["kernel"].astype(dt),
+                                               p1["bias"], relu=True)
             if i8t and self.int8_scales is not None:
                 # Static scales: conv2 quantizes in its epilogue — int8
                 # feat, half the HBM write, no separate quant pass.
@@ -638,6 +668,12 @@ class FastTransformer(nn.Module):
             RGB tail composition (5x5 3->3r^2). Exact legacy ordering
             (reference model.py:313,316) — zero-pads per conv, so the border
             ring differs from the folded kernel's single-pad by design."""
+            if _tail_odt() is not None:
+                import warnings
+
+                warnings.warn("TUX_F32_TAIL=1 has no effect on the factored "
+                              "branch-B tail (TUX_FOLD_PRE=0): the XLA "
+                              "macro-block convs emit the compute dtype.")
             co = kc.shape[3]
             blk2 = next((bb for bb in (32, 16, 8, 4, 2) if w % bb == 0), 2)
             r3 = conv2d_tail_packed(dec_p, pd2["kernel"].astype(dt),
@@ -653,7 +689,8 @@ class FastTransformer(nn.Module):
             if combined_d is None:  # TUX_PALLAS_PATCH probing fallback
                 combined_d = deinterleave4(combined)
             b12 = conv3x3_tail_stream(combined_d, pd1["kernel"].astype(dt),
-                                      pd1["bias"], kc, bc)
+                                      pd1["bias"], kc, bc,
+                                      out_dtype=_tail_odt())
         elif use_pallas and not i8b and not direct_tails:
             # Deint-native decoder: conv + tail ride the deinterleaved
             # layout straight off the unembed output — no interleave4, no
@@ -748,7 +785,12 @@ class FastTransformer(nn.Module):
         rr3 = 3 * scale * scale
         outp = (a12.reshape(b, h, w, rr3) + b12.reshape(b, h, w, rr3))
         if squash:
-            out = resize_shuffled(outp, scale, res_out)
+            # serve_quality: the squash is the LAST op touching the image;
+            # at default TPU precision its f32 einsums would round both
+            # operands back to bf16 — HIGHEST keeps the f32 tail outputs
+            # f32 through to the clip.
+            prec = jax.lax.Precision.HIGHEST if quality else None
+            out = resize_shuffled(outp, scale, res_out, precision=prec)
         else:
             out = pixel_shuffle(outp, scale)
         return jnp.clip(out, 0.0, 1.0)

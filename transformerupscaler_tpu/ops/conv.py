@@ -151,7 +151,9 @@ def conv2d_packed_dots(xp: jnp.ndarray, kernel: jnp.ndarray,
 
 def conv2d_packed_dots_deint(xp: jnp.ndarray, kernel: jnp.ndarray,
                              bias: jnp.ndarray | None = None,
-                             relu: bool = False) -> jnp.ndarray:
+                             relu: bool = False,
+                             hi_lo: bool = False,
+                             out_dtype=None) -> jnp.ndarray:
     """conv2d_packed_dots emitting the deinterleave4 layout with NO large
     transpose: the (tiny, 5.5 MB at 720p) INPUT is deinterleaved instead,
     and the conv becomes four contiguous-slice im2col GEMMs — one per
@@ -162,6 +164,16 @@ def conv2d_packed_dots_deint(xp: jnp.ndarray, kernel: jnp.ndarray,
     serving path: the GEMM-output transpose measured ~0.6 ms in-context
     (XLA won't fuse it into the GEMM epilogue), the input one ~0.02.
     Exact (same reduction set, zero-padded extra slots).
+
+    hi_lo: f32-accurate conv on bf16 MXU passes (serve_quality mode). The
+    f32 input and kernel each split into bf16 hi + lo halves and the GEMM
+    contracts [im_hi | im_lo | im_hi] against [k_hi; k_hi; k_lo] — three
+    of the four cross terms (lo*lo ~ 2^-18 relative, dropped). For conv1
+    the base K = kh*kwp*2Cin = 54, so even the tripled K = 162 is two MXU
+    depth tiles — the input-quantization and weight-rounding error of the
+    serving path's FIRST image-carrying op disappears for one extra MXU
+    pass. ``out_dtype`` picks the output dtype (default bfloat16 under
+    hi_lo, else xp.dtype).
     """
     b, h, wp2, c2i = xp.shape
     g = wp2 // 4
@@ -169,14 +181,28 @@ def conv2d_packed_dots_deint(xp: jnp.ndarray, kernel: jnp.ndarray,
     pad_h = (kh - 1) // 2
     pad = (kw - 1) // 2
     jmin = (0 - pad) // 2
-    kp = pack_kernel_width2(kernel).astype(xp.dtype)
-    khp, kwp, _, c2o = kp.shape
-    km = kp.reshape(khp * kwp * c2i, c2o)
+    if hi_lo:
+        dt = out_dtype or jnp.bfloat16
+        kp32 = pack_kernel_width2(kernel.astype(jnp.float32))
+        khp, kwp, _, c2o = kp32.shape
+        km32 = kp32.reshape(khp * kwp * c2i, c2o)
+        km_hi = km32.astype(jnp.bfloat16)
+        km_lo = (km32 - km_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        km = jnp.concatenate([km_hi, km_hi, km_lo], axis=0)
+    else:
+        dt = out_dtype or xp.dtype
+        kp = pack_kernel_width2(kernel).astype(xp.dtype)
+        khp, kwp, _, c2o = kp.shape
+        km = kp.reshape(khp * kwp * c2i, c2o)
     # Pad a whole group (4 packed cols) per side so every width tap is a
     # clean +-1 group shift in deint coordinates.
     xpad = jnp.pad(xp, ((0, 0), (pad_h, pad_h), (4, 4), (0, 0)))
     xd = (xpad.reshape(b, h + 2 * pad_h, g + 2, 4, c2i)
           .transpose(0, 1, 3, 2, 4))  # (B, H+2p, 4, G+2, 2Cin)
+    if hi_lo:
+        xd32 = xd.astype(jnp.float32)
+        xd_hi = xd32.astype(jnp.bfloat16)
+        xd_lo = (xd32 - xd_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     outs = []
     for j in range(4):
         cols = []
@@ -185,16 +211,35 @@ def conv2d_packed_dots_deint(xp: jnp.ndarray, kernel: jnp.ndarray,
                 t = j + jc + jmin
                 js = t % 4
                 gs = 1 + (-1 if t < 0 else (1 if t > 3 else 0))
-                cols.append(xd[:, dy:dy + h, js, gs:gs + g, :])
-        im = jnp.concatenate(cols, axis=-1)
-        outs.append(jnp.einsum("bhgk,ko->bhgo", im, km,
-                               preferred_element_type=jnp.float32)
-                    .astype(xp.dtype))
+                cols.append((dy, js, gs))
+        if hi_lo:
+            im_hi = jnp.concatenate(
+                [xd_hi[:, dy:dy + h, js, gs:gs + g, :]
+                 for dy, js, gs in cols], axis=-1)
+            im_lo = jnp.concatenate(
+                [xd_lo[:, dy:dy + h, js, gs:gs + g, :]
+                 for dy, js, gs in cols], axis=-1)
+            im = jnp.concatenate([im_hi, im_lo, im_hi], axis=-1)
+        else:
+            im = jnp.concatenate(
+                [xd[:, dy:dy + h, js, gs:gs + g, :]
+                 for dy, js, gs in cols], axis=-1)
+        y = jnp.einsum("bhgk,ko->bhgo", im, km,
+                       preferred_element_type=jnp.float32)
+        if hi_lo:
+            if bias is not None:
+                y = y + jnp.tile(bias.astype(jnp.float32), 2)
+            if relu:
+                y = jax.nn.relu(y)
+            outs.append(y.astype(dt))
+        else:
+            outs.append(y.astype(dt))
     out = jnp.stack(outs, axis=2)  # (B, H, 4, G, 2Cout)
-    if bias is not None:
-        out = out + jnp.tile(bias.astype(xp.dtype), 2)
-    if relu:
-        out = jax.nn.relu(out)
+    if not hi_lo:
+        if bias is not None:
+            out = out + jnp.tile(bias.astype(dt), 2)
+        if relu:
+            out = jax.nn.relu(out)
     return out
 
 

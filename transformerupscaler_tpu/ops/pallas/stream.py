@@ -93,7 +93,9 @@ def conv3x3_packed_stream(xp: jnp.ndarray, kernel, bias,
         interpret = jax.default_backend() != "tpu"
     b, h, wp2, _ = xp.shape
     if h % rows:
-        rows = 8
+        # Fall back through the other swept sizes (24 ties 16 at 1.43 ms on
+        # v5e; 8 is the slowest at 1.73) before the 8-row floor.
+        rows = next((r for r in (16, 24, 8) if h % r == 0), 8)
     dt = xp.dtype
     w = pack_conv3(kernel).astype(dt)
     bp = jnp.tile(jnp.asarray(bias, jnp.float32).reshape(1, 64), (1, 2))
@@ -442,7 +444,7 @@ def conv3x3_deint_stream(xd: jnp.ndarray, kernel, bias,
         interpret = jax.default_backend() != "tpu"
     b, h, _, g_img, _ = xd.shape
     if h % rows:
-        rows = 8
+        rows = next((r for r in (16, 24, 8) if h % r == 0), 8)
     dt = xd.dtype
     quant = out_scale is not None
     odt = jnp.int8 if quant else dt
@@ -543,7 +545,7 @@ def _conv_tail_kernel(cur, above, below, wc, bc, wt, bt, out, islab, dslab,
         if conv_relu:
             acc = jnp.maximum(acc, 0.0)
         dslab[0:rdec, j, 1:1 + g_img, :] = acc.reshape(
-            rdec, g_img, 128).astype(dt)
+            rdec, g_img, 128).astype(dslab.dtype)
 
     @pl.when(i == 0)
     def _():
@@ -570,7 +572,7 @@ def _conv_tail_kernel(cur, above, below, wc, bc, wt, bt, out, islab, dslab,
 def conv3x3_tail_stream(xd: jnp.ndarray, conv_kernel, conv_bias,
                         tail_kernel, tail_bias=None,
                         conv_relu: bool = True, tail_relu: bool = False,
-                        rows: int = 24,
+                        rows: int = 24, out_dtype=None,
                         interpret: bool | None = None) -> jnp.ndarray:
     """Fused 3x3 conv + composed tail, deinterleaved end-to-end.
 
@@ -585,13 +587,17 @@ def conv3x3_tail_stream(xd: jnp.ndarray, conv_kernel, conv_bias,
     reduction set as conv2d_packed_raw -> conv2d_tail_packed(block=8)
     (exact modulo bf16 reassociation); zero-pad semantics match both
     stages (the dec map is zeroed outside the image before the tail).
+
+    out_dtype: optional override for the TAIL output dtype (the in-kernel
+    conv feature slab keeps the compute dtype) — TUX_F32_TAIL support.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, h, _, g_img, _ = xd.shape
     if h % rows:
-        rows = 8
+        rows = next((r for r in (16, 24, 8) if h % r == 0), 8)
     dt = xd.dtype
+    odt = out_dtype or dt
     kh, kw, cin, co = tail_kernel.shape
     pad_h = (kh - 1) // 2
     assert pad_h <= 3, "tail taller than 7 needs a wider row halo"
@@ -629,7 +635,7 @@ def conv3x3_tail_stream(xd: jnp.ndarray, conv_kernel, conv_bias,
         out_specs=pl.BlockSpec((1, rows, g_img, 8 * co),
                                lambda nb, i: (nb, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, g_img, 8 * co), dt),
+        out_shape=jax.ShapeDtypeStruct((b, h, g_img, 8 * co), odt),
         scratch_shapes=[
             pltpu.VMEM((rows + 2 * hpad, 4, g_img + 2, 128), dt),
             pltpu.VMEM((rows + 2 * pad_h, 4, g_img + 2, 128), dt),
@@ -644,7 +650,7 @@ def conv3x3_tail_stream(xd: jnp.ndarray, conv_kernel, conv_bias,
 def conv3x3_tail_emit_stream(xd: jnp.ndarray, conv_kernel, conv_bias,
                              tail_kernel, tail_bias=None,
                              conv_relu: bool = True, tail_relu: bool = True,
-                             rows: int = 24,
+                             rows: int = 24, out_dtype=None,
                              interpret: bool | None = None):
     """conv3x3_tail_stream that also returns the conv feature map.
 
@@ -652,14 +658,16 @@ def conv3x3_tail_emit_stream(xd: jnp.ndarray, conv_kernel, conv_bias,
     (fused here) and the patch embed/unembed downstream — returned as the
     second output in deinterleave4 layout (B, H, 4, G, 128), Pallas-
     produced so every downstream Pallas consumer is a clean crossing.
-    Returns (a12 macro-8 (B, H, G, 8*co), featd).
+    Returns (a12 macro-8 (B, H, G, 8*co), featd). ``out_dtype`` overrides
+    the a12 output dtype only (featd stays the compute dtype).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, h, _, g_img, _ = xd.shape
     if h % rows:
-        rows = 8
+        rows = next((r for r in (16, 24, 8) if h % r == 0), 8)
     dt = xd.dtype
+    odt = out_dtype or dt
     kh, kw, cin, co = tail_kernel.shape
     pad_h = (kh - 1) // 2
     assert pad_h <= 3, "tail taller than 7 needs a wider row halo"
@@ -703,7 +711,7 @@ def conv3x3_tail_emit_stream(xd: jnp.ndarray, conv_kernel, conv_bias,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, h, g_img, 8 * co), dt),
+            jax.ShapeDtypeStruct((b, h, g_img, 8 * co), odt),
             jax.ShapeDtypeStruct((b, h, 4, g_img, 128), dt),
         ),
         scratch_shapes=[
@@ -774,14 +782,20 @@ def tail_macro8_stream(xt: jnp.ndarray, kernel, bias=None,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     kh, kw, cin, co = kernel.shape
+    b, h, _, g_img, _ = xt.shape
     if rows is None:
         # Row sweep on v5e @720p (tools/conv_rows_sweep.py, same-process):
         # the 5x5 tail prefers 24 (0.97 ms), the 7x7 tail 16 (1.638 vs
         # 1.700 at 24, 2.068 at 48) — the taller halo shrinks the optimal
-        # cell. TUX_TAIL_ROWS overrides both.
-        dflt = "16" if kh >= 7 else "24"
-        rows = int(os.environ.get("TUX_TAIL_ROWS", dflt))
-    b, h, _, g_img, _ = xt.shape
+        # cell. TUX_TAIL_ROWS overrides both. When the preferred row count
+        # doesn't divide H, fall back through the OTHER swept sizes before
+        # the slowest (8): e.g. H=120/360 runs at 24, not 8.
+        pref = [16, 24, 8] if kh >= 7 else [24, 16, 8]
+        env = os.environ.get("TUX_TAIL_ROWS")
+        if env is not None:
+            rows = int(env)
+        else:
+            rows = next((r for r in pref if h % r == 0), 8)
     if h % rows:
         rows = 8
     dt = xt.dtype

@@ -32,6 +32,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -248,6 +250,86 @@ def _trunk2_pair_kernel(x_ref, mask2_ref, bdiag_ref, ln1s, ln1b, qkvw, qkvb,
                  .astype(dt) + fc2b[l])
 
     out_ref[:] = x.reshape(wpc, n, c)
+
+
+def _trunk2_pair_chunked_kernel(x_ref, mask2_ref, bdiag_ref, ln1s, ln1b,
+                                qkvw, qkvb, projw, projb, ln2s, ln2b,
+                                fc1w, fc1b, fc2w, fc2b, bias2_ref, out_ref,
+                                *, layers, heads, n, wpc):
+    """_trunk2_pair_kernel with the WHOLE layer body chunked per window
+    pair.
+
+    The paired kernel runs LN1 -> qkv -> (per-pair attention) -> proj ->
+    LN2 -> fc1 -> GELU -> fc2 over the full cell (wpc*n rows) stage by
+    stage: every full-width VPU stage (LN stats, GELU, softmax) is a
+    scheduling barrier for the MXU — the trunk ablation measured LN 0.53 +
+    softmax 0.32 + GELU 0.35 ms of VPU inside a 2.05 ms kernel whose MXU
+    floor is ~0.55 ms, i.e. the kernel is VPU-overlap-limited, not
+    MXU-bound. Here each pair's 2n = 128 rows flow through the ENTIRE
+    layer in one chunk (all slices static), so Mosaic can overlap pair
+    i's VPU stages with pair i+1's GEMMs. Same reduction set as the
+    paired kernel per pair (LN/softmax/GELU are row-local; the only
+    cross-pair coupling in the original was batching, not math).
+    """
+    c = x_ref.shape[-1]
+    dt = x_ref.dtype
+    scale = jnp.asarray((c // heads) ** -0.5, dt)
+    mask2 = mask2_ref[:]   # (heads*n, 2c)
+    bdiag = bdiag_ref[:]   # (2n, 2c)
+    _row = jax.lax.broadcasted_iota(jnp.int32, (2 * n, 2 * n), 0)
+    _col = jax.lax.broadcasted_iota(jnp.int32, (2 * n, 2 * n), 1)
+    seg_ones = ((_row // n) == (_col // n)).astype(jnp.float32)
+
+    xs = [x_ref[2 * p].reshape(n, c) for p in range(wpc // 2)]
+    ys = [x_ref[2 * p + 1].reshape(n, c) for p in range(wpc // 2)]
+    for l in range(layers):
+        bias2_l = bias2_ref[l]  # (heads*n, 2n) f32
+        nxs, nys = [], []
+        for p in range(wpc // 2):  # static unroll: one pair end-to-end
+            xp_ = jnp.concatenate([xs[p], ys[p]], axis=0)  # (2n, c)
+            y = _layernorm(xp_, ln1s[l], ln1b[l]).astype(dt)
+            qkv = (jnp.dot(y, qkvw[l], preferred_element_type=jnp.float32)
+                   .astype(dt) + qkvb[l])  # (2n, 3c)
+            qcat = jnp.concatenate(
+                [qkv[0:n, 0:c], qkv[n:2 * n, 0:c]], axis=1) * scale
+            qp2 = (jnp.broadcast_to(qcat[None], (heads, n, 2 * c))
+                   .reshape(heads * n, 2 * c) * mask2)
+            kcat = jnp.concatenate(
+                [qkv[0:n, c:2 * c], qkv[n:2 * n, c:2 * c]], axis=0)
+            k2 = jnp.concatenate([kcat, kcat], axis=1) * bdiag
+            s2 = jax.lax.dot_general(
+                qp2, k2, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) + bias2_l
+            m = jnp.max(s2, axis=-1, keepdims=True)
+            p3 = jnp.exp(s2 - m)
+            denom = jax.lax.dot_general(
+                p3, seg_ones, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            pp = (p3 / jnp.maximum(denom, 1e-30)).astype(dt)
+            vcat = jnp.concatenate(
+                [qkv[0:n, 2 * c:3 * c], qkv[n:2 * n, 2 * c:3 * c]], axis=0)
+            v2 = jnp.concatenate([vcat, vcat], axis=1) * bdiag
+            o = jnp.dot(pp, v2, preferred_element_type=jnp.float32
+                        ).astype(dt)
+            oc = jnp.sum((o * mask2).reshape(heads, n, 2 * c), axis=0)
+            attn = jnp.concatenate([oc[:, 0:c], oc[:, c:2 * c]], axis=0)
+            xo = xp_ + (jnp.dot(attn, projw[l],
+                                preferred_element_type=jnp.float32)
+                        .astype(dt) + projb[l])
+            y2 = _layernorm(xo, ln2s[l], ln2b[l]).astype(dt)
+            h1 = (jnp.dot(y2, fc1w[l], preferred_element_type=jnp.float32)
+                  .astype(dt) + fc1b[l])
+            h1 = _gelu_exact(h1)
+            xo = xo + (jnp.dot(h1, fc2w[l],
+                               preferred_element_type=jnp.float32)
+                       .astype(dt) + fc2b[l])
+            nxs.append(xo[0:n])
+            nys.append(xo[n:2 * n])
+        xs, ys = nxs, nys
+
+    for p in range(wpc // 2):
+        out_ref[2 * p] = xs[p]
+        out_ref[2 * p + 1] = ys[p]
 
 
 def _trunk2_group_kernel(x_ref, bdg_ref, ln1s, ln1b, qkvw, qkvb, projw,
@@ -506,6 +588,31 @@ def fused_window_trunk_v2(win: jnp.ndarray, block_params: list[dict],
         bd[n:, c:] = 1.0
         bdiag = jnp.asarray(bd, dt)
         bias2 = jnp.concatenate([bias, bias], axis=2)   # (L, heads*n, 2n)
+        if (int8_acts is None
+                and os.environ.get("TUX_TRUNK_CHUNK", "0") == "1"):
+            # Chunked-per-pair layer bodies (see the kernel docstring):
+            # VPU/MXU overlap experiment for the VPU-limited paired trunk.
+            out = pl.pallas_call(
+                partial(_trunk2_pair_chunked_kernel, layers=layers,
+                        heads=num_heads, n=n, wpc=wpc),
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((wpc, n, c), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((num_heads * n, 2 * c), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((2 * n, 2 * c), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    *weight_ins, spec3(bias2),
+                ],
+                out_specs=pl.BlockSpec((wpc, n, c), lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((nw + pad, n, c), dt),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=interpret,
+            )(win, mask2, bdiag, *weights, bias2)
+            return out[:nw] if pad else out
         extra, extra_ins = (), []
         int8_gemms = False
         if int8_acts is not None:

@@ -129,7 +129,8 @@ def resize(x: jnp.ndarray, out_hw: tuple[int, int], method: str = "bicubic",
 
 def resize_shuffled(z: jnp.ndarray, r: int, out_hw: tuple[int, int],
                     method: str = "bilinear", antialias: bool = True,
-                    a: float | None = None) -> jnp.ndarray:
+                    a: float | None = None,
+                    precision=None) -> jnp.ndarray:
     """``resize(pixel_shuffle(z, r), out_hw)`` without materializing the
     shuffled image — exact up to fp reassociation.
 
@@ -148,11 +149,17 @@ def resize_shuffled(z: jnp.ndarray, r: int, out_hw: tuple[int, int],
     c = crr // (r * r)
     oh, ow = out_hw
     dtype = z.dtype
+    # precision: forwarded to the two einsums. On TPU, f32 matmuls round
+    # their operands to bf16 at the default precision — the LAST op touching
+    # the output image would re-round it even when the tails emit f32
+    # (serve_quality mode passes HIGHEST to keep the image f32 end-to-end).
     mh = resize_matrix(h * r, oh, method, antialias, a).reshape(oh, h, r)
     mw = resize_matrix(w * r, ow, method, antialias, a).reshape(ow, w, r)
     z6 = z.reshape(b, h, w, c, r, r)
-    t = jnp.einsum("ohi,nhwcij->nowcj", jnp.asarray(mh, dtype), z6)
-    out = jnp.einsum("pwj,nowcj->nopc", jnp.asarray(mw, dtype), t)
+    t = jnp.einsum("ohi,nhwcij->nowcj", jnp.asarray(mh, dtype), z6,
+                   precision=precision)
+    out = jnp.einsum("pwj,nowcj->nopc", jnp.asarray(mw, dtype), t,
+                     precision=precision)
     return out.astype(dtype)
 
 
