@@ -87,3 +87,32 @@ def test_batched_iteration():
     assert [len(b) for b in batches] == [3, 3, 1]
     batches = list(batched(data, 3, drop_last=True))
     assert [len(b) for b in batches] == [3, 3]
+
+
+def test_heldout_manifest_is_untrained():
+    """tests/golden/heldout_manifest.txt == sorted(training_set)[20:], and
+    the len-200 dataset cap makes those indices unreachable in training
+    (tools/eval_frames.py) — the quality gates' held-out claim."""
+    import os
+
+    from tools.eval_frames import (
+        HELDOUT_START,
+        MANIFEST,
+        TRAINING_SET,
+        heldout_paths,
+    )
+
+    with open(MANIFEST) as fh:
+        manifest = [l.strip() for l in fh
+                    if l.strip() and not l.startswith("#")]
+    held = [os.path.basename(p) for p in heldout_paths()]
+    assert manifest == held and len(held) > 0
+
+    ds = HighresImageDataset(TRAINING_SET)
+    # Training draws indices from arange(len(ds)) only (bucketing.batched):
+    # the largest reachable file index stays below the held-out start.
+    assert len(ds) == 200
+    assert (len(ds) - 1) // len(ds.scale_pairs) < HELDOUT_START
+    reachable = {ds.image_files[i // len(ds.scale_pairs)]
+                 for i in range(len(ds))}
+    assert reachable.isdisjoint(set(heldout_paths()))

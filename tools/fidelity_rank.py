@@ -162,8 +162,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=2)
     ap.add_argument("--hw", type=str, default="360,640")
-    ap.add_argument("--image_dir", type=str,
-                    default="/root/reference/images/training_set")
+    ap.add_argument("--image_dir", type=str, default=None,
+                    help="override frame source (default: the held-out "
+                         "split, tools/eval_frames.heldout_paths)")
     ap.add_argument("--crop", type=int, default=8)
     args = ap.parse_args()
 
@@ -186,7 +187,12 @@ def main():
         default_checkpoint_dir("FastTransformer", "."))
     params = {"params": load_checkpoint(path, "FastTransformer")["params"]}
 
-    paths = sorted(glob.glob(os.path.join(args.image_dir, "*.png")))
+    if args.image_dir is None:
+        from tools.eval_frames import heldout_paths
+
+        paths = heldout_paths()
+    else:
+        paths = sorted(glob.glob(os.path.join(args.image_dir, "*.png")))
     frames = []
     for p in paths[: args.frames]:
         im = Image.open(p).convert("RGB").resize((w, h), Image.BICUBIC)

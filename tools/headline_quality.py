@@ -14,6 +14,13 @@ compose-tails border ring + any Pallas kernel rounding), unlike
 tools/int8_quality.py whose f32 baseline already includes compose_tails.
 
 Usage:
+Frames: by default the HELD-OUT split of the reference training_set —
+sorted(files)[20:], which the len-200 dataset cap makes unreachable during
+training (tools/eval_frames.py; manifest tests/golden/heldout_manifest.txt)
+— so "held-out real frames" above is literal. ``--image_dir`` overrides
+(then the FIRST N sorted files are used, i.e. the training split).
+
+Usage:
   python tools/headline_quality.py [--images N] [--res_out H,W]
       [--checkpoint_dir D]
 """
@@ -38,15 +45,16 @@ def psnr(a, b, crop=0):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--images", type=int, default=6)
+    ap.add_argument("--images", type=int, default=12)
     ap.add_argument("--res_out", type=str, default="1080,1920",
                     help="output geometry H,W (input is 720p; default is "
                          "the bench.py headline geometry)")
     ap.add_argument("--checkpoint_dir", type=str, default=None)
-    ap.add_argument("--image_dir", type=str,
-                    default="/root/reference/images/training_set")
+    ap.add_argument("--image_dir", type=str, default=None,
+                    help="override frame source (default: the held-out "
+                         "split, tools/eval_frames.heldout_paths)")
     ap.add_argument("--attribute",
-                    choices=["coarse", "pallas", "compose_bf16"],
+                    choices=["coarse", "pallas", "compose_bf16", "quality"],
                     default=None,
                     help="also run intermediate configs: 'coarse' splits "
                          "the GT delta between the compose border ring and "
@@ -61,8 +69,13 @@ def main():
     import jax.numpy as jnp
     from transformerupscaler_tpu.infer_lib import UpscalerEngine
 
-    paths = sorted(glob.glob(os.path.join(args.image_dir, "*.png")))
-    paths = paths[:args.images]
+    if args.image_dir is None:
+        from tools.eval_frames import heldout_paths
+
+        paths = heldout_paths(n=args.images)
+    else:
+        paths = sorted(glob.glob(os.path.join(args.image_dir, "*.png")))
+        paths = paths[:args.images]
     res_out = tuple(int(v) for v in args.res_out.split(","))
 
     # Reference-exact path: f32, no compose, XLA attention (parity config).
@@ -89,6 +102,14 @@ def main():
         extra["compose_bf16"] = UpscalerEngine(
             "FastTransformer", dtype=jnp.bfloat16,
             checkpoint_dir=args.checkpoint_dir, compose_tails=True)
+    elif args.attribute == "quality":
+        # The joint-north-star candidate: headline + serve_quality (f32
+        # image path — hi/lo conv1 on the unrounded input, f32 tails,
+        # HIGHEST squash). Gate: delta_quality <= 0.05 dB.
+        extra["quality"] = UpscalerEngine(
+            "FastTransformer", dtype=jnp.bfloat16,
+            checkpoint_dir=args.checkpoint_dir, compose_tails=True,
+            pallas_serve=True, attn_impl="fused2", serve_quality=True)
     elif args.attribute == "pallas":
         # Which Pallas component carries the headline's GT delta: the
         # stream conv kernels (pallas_serve, XLA attention) or the fused2

@@ -57,16 +57,31 @@ def main():
     ap.add_argument("--int8_trunk", action="store_true",
                     help="also run the trunk GEMMs as rowwise int8 inside "
                          "the paired fused2 kernel (int8_trunk flag)")
-    ap.add_argument("--image_dir", type=str,
-                    default="/root/reference/images/training_set")
+    ap.add_argument("--image_dir", type=str, default=None,
+                    help="override frame source (default: calibrate on the "
+                         "TRAINING split, evaluate on the held-out split — "
+                         "tools/eval_frames.heldout_paths)")
     args = ap.parse_args()
 
     from PIL import Image
     import jax.numpy as jnp
     from transformerupscaler_tpu.infer_lib import UpscalerEngine
 
-    paths = sorted(glob.glob(os.path.join(args.image_dir, "*.png")))
-    paths = paths[:args.images]
+    heldout_split = args.image_dir is None
+    if heldout_split:
+        # Calibration frames come FIRST (training split: the same frames
+        # the checkpoint saw), then the held-out eval frames — static
+        # calibration below slices calib off the front, so eval stays
+        # genuinely unseen.
+        from tools.eval_frames import TRAINING_SET, heldout_paths
+
+        train_paths = sorted(glob.glob(os.path.join(TRAINING_SET, "*.png")))
+        cal = (train_paths[:args.calib_frames]
+               if args.calib == "static" else [])
+        paths = cal + heldout_paths(n=args.images)
+    else:
+        paths = sorted(glob.glob(os.path.join(args.image_dir, "*.png")))
+        paths = paths[:args.images]
     res_out = tuple(int(v) for v in args.res_out.split(","))
 
     eng_f = UpscalerEngine("FastTransformer", dtype=jnp.float32,
