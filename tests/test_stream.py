@@ -72,3 +72,61 @@ def test_traceback_display_decorator(capsys):
     assert workload() == 42
     out = capsys.readouterr().out
     assert "Stack sampling summary" in out
+
+
+def test_two_in_flight_overlap_beats_serial_sum():
+    """Timing proof that run()'s two-frames-in-flight dispatch actually
+    overlaps stages (VERDICT r3 #6): with injected per-stage delays —
+    capture/sink on the main thread, preprocess in the one-ahead worker,
+    and a fake async device that models a SERIAL queue (ready_i =
+    max(dispatch_i, ready_{i-1}) + d_dev) whose fetch blocks like a real
+    D2H — end-to-end wall must land well under the serial sum of stages
+    and near the device-bound floor. Reference overlap pattern:
+    app_overlay.py:363-377 (CUDA side-stream)."""
+    d_cap, d_pre, d_dev, d_sink = 0.005, 0.020, 0.030, 0.005
+    n_frames = 20
+
+    pipe = StreamPipeline("BicubicInterpolation", res_in=(16, 16),
+                          res_out=(32, 32), load_checkpoint=False)
+
+    class FakeDeviceArray:
+        def __init__(self, ready_at, value):
+            self._ready_at = ready_at
+            self._value = value
+
+        def __array__(self, dtype=None, copy=None):
+            dt = self._ready_at - time.perf_counter()
+            if dt > 0:
+                time.sleep(dt)
+            v = self._value
+            return v.astype(dtype) if dtype is not None else v
+
+    queue_free = [0.0]
+
+    def fake_step(params, frame):
+        start = max(time.perf_counter(), queue_free[0])
+        queue_free[0] = start + d_dev
+        return FakeDeviceArray(queue_free[0],
+                               np.zeros((32, 32, 3), np.uint8))
+
+    pipe._step = fake_step
+
+    def source():
+        for _ in range(n_frames):
+            time.sleep(d_cap)
+            yield np.zeros((16, 16, 3), np.uint8)
+
+    def preprocess(frame):
+        time.sleep(d_pre)
+        return frame
+
+    def sink(out):
+        time.sleep(d_sink)
+
+    stats = pipe.run(source(), sink=sink, preprocess=preprocess)
+    assert stats["frames"] == n_frames - 1  # one-ahead primes on frame 0
+    serial_sum = stats["frames"] * (d_cap + d_pre + d_dev + d_sink)
+    # Overlap claim: wall well under the serial sum...
+    assert stats["wall_s"] < 0.75 * serial_sum, (stats["wall_s"], serial_sum)
+    # ...and the device queue really serialized (sanity: no time travel).
+    assert stats["wall_s"] > stats["frames"] * d_dev * 0.9
