@@ -43,3 +43,42 @@ def test_fast_transformer_compose_tails_close(rng):
     # Overall still close (outputs are clamped [0,1]); with random untrained
     # weights the border ring dominates the mean on a tiny image.
     assert np.abs(a - b).mean() < 0.01
+
+
+def test_split_tail_kernels_interior_exact(rng):
+    """split_tail_kernels (mid conv + commuted-tail finish) matches
+    composed_tail_kernel on the interior at every fold-eligible scale —
+    the 16-phase x4 permutation included."""
+    from transformerupscaler_tpu.models.upsampler import (
+        Upsampler,
+        composed_tail_kernel,
+        split_tail_kernels,
+    )
+
+    n = 8
+    up = Upsampler(n_feats=3)
+    x0 = jnp.asarray(rng.standard_normal((1, 12, 16, 3)).astype(np.float32))
+    params = up.init(jax.random.PRNGKey(0), x0, 2)["params"]
+    pre_k = jnp.asarray(
+        rng.standard_normal((3, 3, n, 3)).astype(np.float32) * 0.2)
+    pre_b = jnp.asarray(rng.standard_normal((3,)).astype(np.float32))
+    tail_k = jnp.asarray(
+        rng.standard_normal((3, 3, 3, 3)).astype(np.float32) * 0.2)
+    tail_b = jnp.asarray(rng.standard_normal((3,)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((1, 12, 16, n)).astype(np.float32))
+    for scale in (2, 3, 4):
+        kc, bc = composed_tail_kernel(params, scale, tail_k, tail_b,
+                                      jnp.float32, pre_kernel=pre_k,
+                                      pre_bias=pre_b)
+        want = np.asarray(conv2d(x, kc, bc, padding=(kc.shape[0] - 1) // 2))
+        (km, bm), (kf, bf) = split_tail_kernels(params, scale, tail_k,
+                                                tail_b, jnp.float32,
+                                                pre_kernel=pre_k,
+                                                pre_bias=pre_b)
+        mid = conv2d(x, km, bm, padding=(km.shape[0] - 1) // 2)
+        got = np.asarray(conv2d(mid, kf, bf, padding=(kf.shape[0] - 1) // 2))
+        assert got.shape == want.shape
+        c = (kc.shape[0] - 1) // 2
+        np.testing.assert_allclose(got[:, c:-c, c:-c], want[:, c:-c, c:-c],
+                                   atol=5e-4, rtol=5e-4,
+                                   err_msg=f"scale {scale}")

@@ -156,7 +156,7 @@ def test_dropout_only_active_when_not_deterministic():
 
 
 def test_fast_transformer_serve_quality_mode():
-    """serve_quality: f32 input + hi/lo conv1, f32 tails, HIGHEST squash.
+    """serve_quality: exact-uint8 k_hi_lo conv1, f32 tails, HIGH squash.
     Gate: runs the packed pallas path on an f32 input and lands at least as
     close to the exact f32 path as the plain bf16 headline config
     (interior; the compose ring is a shared deviation)."""
@@ -187,3 +187,30 @@ def test_fast_transformer_serve_quality_mode():
     assert y_q.shape == y_e.shape
     assert mse(y_q, y_e) <= mse(y_h, y_e) * 1.05, (mse(y_q, y_e),
                                                    mse(y_h, y_e))
+
+
+def test_fast_transformer_split_tail_matches(monkeypatch):
+    """TUX_SPLIT_TAIL=1 (split branch-B tail) matches the default packed
+    pallas path on the interior — the ring may differ (two zero-pads
+    instead of one, same deviation class as compose_tails)."""
+    import jax
+    import jax.numpy as jnp
+
+    from transformerupscaler_tpu.registry import get_model
+
+    key = jax.random.PRNGKey(5)
+    x = jax.random.uniform(key, (1, 24, 32, 3), jnp.bfloat16)
+    kw = dict(dtype=jnp.bfloat16, compose_tails=True, pallas_serve=True)
+    model = get_model("FastTransformer", **kw)
+    params = model.init(key, x, upscale_factor=2)
+    for scale in (2, 4):
+        base = np.asarray(
+            model.apply(params, x, upscale_factor=scale), np.float32)
+        monkeypatch.setenv("TUX_SPLIT_TAIL", "1")
+        split = np.asarray(
+            model.apply(params, x, upscale_factor=scale), np.float32)
+        monkeypatch.delenv("TUX_SPLIT_TAIL")
+        c = 4 * scale
+        np.testing.assert_allclose(
+            split[:, c:-c, c:-c], base[:, c:-c, c:-c], atol=0.02, rtol=0.02,
+            err_msg=f"scale {scale}")

@@ -433,3 +433,37 @@ def test_conv2d_packed_dots_deint_hi_lo_exact(rng):
         jnp.asarray(want).astype(jnp.bfloat16).astype(jnp.float32))
     err_bf16 = np.max(np.abs(bf16_once - want))
     assert err_hilo < err_bf16 / 8, (err_hilo, err_bf16)
+
+
+def test_conv2d_packed_dots_deint_k_hi_lo_uint8_exact(rng):
+    """serve_quality v2 conv1: exact-uint8 input (bf16 holds integers
+    <= 255 exactly) + kernel-only hi/lo split with the 1/255 fold
+    (pre_scale) matches the f32 conv on the [0,1] image to ~2^-17
+    relative — same fidelity as the input hi/lo split without its f32
+    im2col (9.65 vs 0.84 ms at 720p, tools/r4_model_bench.py)."""
+    from transformerupscaler_tpu.ops.conv import (
+        conv2d_packed_dots_deint,
+        conv2d_packed_raw,
+    )
+    from transformerupscaler_tpu.ops.pallas.stream import interleave4
+
+    u8 = rng.integers(0, 256, (1, 16, 32, 3)).astype(np.uint8)
+    x = u8.astype(np.float32) / 255.0  # the engine boundary's exact grid
+    xp = jnp.asarray(x.reshape(1, 16, 16, 6))
+    xq = jnp.asarray((x * 255.0).reshape(1, 16, 16, 6)).astype(jnp.bfloat16)
+    # bf16(x*255) must be EXACTLY the uint8 integers.
+    np.testing.assert_array_equal(
+        np.asarray(xq, np.float32), u8.reshape(1, 16, 16, 6).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 64)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    want = np.asarray(conv2d_packed_raw(xp, k, b, relu=True), np.float32)
+    got = np.asarray(interleave4(
+        conv2d_packed_dots_deint(xq, k, b, relu=True, k_hi_lo=True,
+                                 pre_scale=1.0 / 255.0,
+                                 out_dtype=jnp.float32)), np.float32)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+    err = np.max(np.abs(got - want))
+    bf16_once = np.asarray(
+        jnp.asarray(want).astype(jnp.bfloat16).astype(jnp.float32))
+    err_bf16 = np.max(np.abs(bf16_once - want))
+    assert err < err_bf16 / 8, (err, err_bf16)

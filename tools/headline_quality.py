@@ -54,7 +54,8 @@ def main():
                     help="override frame source (default: the held-out "
                          "split, tools/eval_frames.heldout_paths)")
     ap.add_argument("--attribute",
-                    choices=["coarse", "pallas", "compose_bf16", "quality"],
+                    choices=["coarse", "pallas", "compose_bf16", "quality",
+                             "quality_parts"],
                     default=None,
                     help="also run intermediate configs: 'coarse' splits "
                          "the GT delta between the compose border ring and "
@@ -103,13 +104,23 @@ def main():
             "FastTransformer", dtype=jnp.bfloat16,
             checkpoint_dir=args.checkpoint_dir, compose_tails=True)
     elif args.attribute == "quality":
-        # The joint-north-star candidate: headline + serve_quality (f32
-        # image path — hi/lo conv1 on the unrounded input, f32 tails,
-        # HIGHEST squash). Gate: delta_quality <= 0.05 dB.
+        # The joint-north-star candidate: headline + serve_quality
+        # (exact-uint8 k_hi_lo conv1, f32 tails, HIGH squash).
+        # Gate: delta_quality <= 0.05 dB.
         extra["quality"] = UpscalerEngine(
             "FastTransformer", dtype=jnp.bfloat16,
             checkpoint_dir=args.checkpoint_dir, compose_tails=True,
             pallas_serve=True, attn_impl="fused2", serve_quality=True)
+    elif args.attribute == "quality_parts":
+        # Bisect serve_quality piece by piece: one engine per single
+        # active part. Whichever arm reproduces the full-quality delta
+        # carries the regression.
+        for part in ("conv1", "tails", "squash"):
+            extra[f"q_{part}"] = UpscalerEngine(
+                "FastTransformer", dtype=jnp.bfloat16,
+                checkpoint_dir=args.checkpoint_dir, compose_tails=True,
+                pallas_serve=True, attn_impl="fused2", serve_quality=True,
+                quality_parts=part)
     elif args.attribute == "pallas":
         # Which Pallas component carries the headline's GT delta: the
         # stream conv kernels (pallas_serve, XLA attention) or the fused2
@@ -149,7 +160,9 @@ def main():
         for name, eng in extra.items():
             y_a = np.asarray(eng.upscale(lr, res_out=res_out), np.float32)
             row[f"delta_{name}"] = row["psnr_exact_gt"] - psnr(y_a, gt)
-            attr += f"   {name} {row[f'delta_{name}']:+.4f}"
+            row[f"fid_{name}"] = psnr(y_a, y_e)
+            attr += (f"   {name} {row[f'delta_{name}']:+.4f}"
+                     f" (fid {row[f'fid_{name}']:.1f})")
         rows.append(row)
         print(f"{row['image']:20s} head-vs-exact "
               f"{row['psnr_head_vs_exact']:6.2f} dB"
@@ -169,8 +182,10 @@ def main():
           f"(max {max(di):+.4f})", flush=True)
     for name in extra:
         da = [r[f"delta_{name}"] for r in rows]
+        fa = [r[f"fid_{name}"] for r in rows]
         print(f"attribution {name}: mean {np.mean(da):+.4f} dB "
-              f"(max {max(da):+.4f}, min {min(da):+.4f})", flush=True)
+              f"(max {max(da):+.4f}, min {min(da):+.4f}); "
+              f"fidelity {np.mean(fa):.2f} dB", flush=True)
 
 
 if __name__ == "__main__":

@@ -119,6 +119,12 @@ def main():
             log=print)
         probe("conv1 dots_deint HI/LO", lambda p, v: conv2d_packed_dots_deint(
             v, k1, b1, relu=True, hi_lo=True), {}, xp_f, K, log=print)
+        xq = (xf * jnp.float32(255.0)).astype(jnp.bfloat16).reshape(
+            1, 720, 640, 6)
+        probe("conv1 dots_deint K_HI_LO u8",
+              lambda p, v: conv2d_packed_dots_deint(
+                  v, k1, b1, relu=True, k_hi_lo=True, pre_scale=1.0 / 255.0),
+              {}, xq, K, log=print)
 
 
 if __name__ == "__main__":

@@ -37,7 +37,8 @@ class UpscalerEngine:
                  compose_tails: bool = False, int8_mlp: bool = False,
                  pallas_serve: bool = False, packed_serve: bool = False,
                  int8_serve: bool = False, int8_scope: str = "full",
-                 int8_trunk: bool = False, serve_quality: bool = False):
+                 int8_trunk: bool = False, serve_quality: bool = False,
+                 quality_parts: str = "conv1,tails,squash"):
         self.model_name = model_name
         # int8_serve runs inside the packed fast path; imply its gate.
         compose_tails = compose_tails or int8_serve
@@ -51,6 +52,7 @@ class UpscalerEngine:
         self._serve_quality = serve_quality and model_name == "FastTransformer"
         if self._serve_quality:
             self._model_kwargs["serve_quality"] = True
+            self._model_kwargs["quality_parts"] = quality_parts
         self.model = get_model(model_name, **self._model_kwargs)
         # The no-baked-scales model: calibration passes sow DYNAMIC scales
         # through this even after static scales are baked into self.model.

@@ -108,15 +108,22 @@ class FastTransformer(nn.Module):
     # TUX_SERVE_QUALITY=1): removes the IMAGE-LEVEL bf16 roundings that the
     # floor law says bound the headline's GT PSNR delta (PERFORMANCE.md
     # quality-gate section) at near-zero fps cost:
-    #   - conv1 runs hi/lo-split f32-accurate dots on the UNROUNDED f32
-    #     input (conv.conv2d_packed_dots_deint hi_lo — one extra MXU depth
+    #   - conv1 runs exact-uint8 dots: bf16(x*255) is EXACT (integers
+    #     <= 255 fit bf16's 8 significand bits) and 1/255 folds into the
+    #     f32 kernel before a kernel-only hi/lo split
+    #     (conv.conv2d_packed_dots_deint k_hi_lo — one extra MXU depth
     #     tile; kills both the input-cast and conv1-weight rounding);
     #   - both branch tails emit f32 (TUX_F32_TAIL semantics), so the
     #     branch add / squash / clip never round the image through bf16;
-    #   - the squash resize einsums run at Precision.HIGHEST (f32 operands;
-    #     the default TPU precision would re-round the f32 image to bf16
-    #     inside the matmul).
+    #   - the squash resize einsums run at Precision.HIGH (3-pass bf16 on
+    #     f32 operands, ~2^-21; the default TPU precision would re-round
+    #     the f32 image to bf16 inside the matmul).
     serve_quality: bool = False
+    # Attribution knob for serve_quality: which of its three pieces are
+    # active ("conv1", "tails", "squash", comma-separated). The TPU GT
+    # bisect (tools/headline_quality.py --attribute quality_parts) uses
+    # this to locate regressions; serving always runs all three.
+    quality_parts: str = "conv1,tails,squash"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -395,6 +402,7 @@ class FastTransformer(nn.Module):
         # serve_quality (see the class field docstring): f32-image serving.
         quality = (self.serve_quality
                    or _os.environ.get("TUX_SERVE_QUALITY", "0") == "1")
+        qparts = (set(self.quality_parts.split(",")) if quality else set())
 
         def _tail_odt():
             # TUX_F32_TAIL=1: the two branch tails emit f32 (compute stays
@@ -404,7 +412,7 @@ class FastTransformer(nn.Module):
             # +0.07 dB Pallas-boundary residue (PERFORMANCE.md); implied by
             # serve_quality.
             return (jnp.float32
-                    if quality
+                    if "tails" in qparts
                     or _os.environ.get("TUX_F32_TAIL", "0") == "1" else None)
         pallas_patch = use_pallas and self.patch_size == 8
         pallas_tails = use_pallas and not direct_tails
@@ -488,14 +496,23 @@ class FastTransformer(nn.Module):
             # conv1 emits the deinterleave4 layout via contiguous-slice
             # im2col GEMMs (only the 5.5 MB INPUT is transposed) — the
             # GEMM-output transpose measured ~0.6 ms un-fused in-context.
-            if quality and x_in is not None and x_in.dtype == jnp.float32:
-                # serve_quality: hi/lo-split f32-accurate conv1 on the
-                # UNROUNDED input (the bf16 input cast and conv1 weight
-                # rounding are two of the image-level error floors).
-                xp_q = x_in.reshape(b, h, w // 2, 2 * cin)
+            if ("conv1" in qparts and x_in is not None
+                    and x_in.dtype == jnp.float32):
+                # serve_quality v2: exact-uint8 conv1. Integers <= 255 are
+                # EXACT in bf16 (8 significand bits), so conv1 consumes
+                # bf16(x*255) and folds the 1/255 into the f32 kernel
+                # before its hi/lo split (k_hi_lo: kernel-only split,
+                # K 54 -> 108). Kills the input-quantization AND
+                # weight-rounding floors like v1's input split, but the
+                # im2col stays bf16: v1 measured 9.65 ms (f32 im2col HBM)
+                # vs 0.84 base; v2 is one extra MXU depth tile.
+                xq = (x_in * jnp.float32(255.0)).astype(jnp.bfloat16)
+                xp_q = xq.reshape(b, h, w // 2, 2 * cin)
                 f1d = conv2d_packed_dots_deint(xp_q, p1["kernel"],
                                                p1["bias"], relu=True,
-                                               hi_lo=True, out_dtype=dt)
+                                               k_hi_lo=True,
+                                               pre_scale=1.0 / 255.0,
+                                               out_dtype=dt)
             else:
                 f1d = conv2d_packed_dots_deint(xp, p1["kernel"].astype(dt),
                                                p1["bias"], relu=True)
@@ -730,7 +747,35 @@ class FastTransformer(nn.Module):
                 dec_d = conv3x3_deint_stream(combined_d,
                                              pd1["kernel"].astype(dt),
                                              pd1["bias"], relu=True)
-                if fold_pre:
+                split_tail = (_os.environ.get("TUX_SPLIT_TAIL", "0") == "1"
+                              and fold_pre and scale in (2, 3, 4)
+                              and not quality)
+                if split_tail:
+                    # Split-B tail: the fold through the rank-3 RGB
+                    # bottleneck nearly doubles the B tail's MACs at x2
+                    # (6x at x4) just to save one tiny conv — run
+                    # [pre o stage] as the 5x5 macro-8 stream kernel and
+                    # the commuted RGB tail as a small block-8 XLA conv
+                    # (Pallas -> XLA is the clean crossing direction).
+                    # Interior-exact vs the fold; the border ring differs
+                    # (two zero-pads instead of one — same deviation
+                    # class). Not under serve_quality: the mid tensor
+                    # would round the B image through bf16.
+                    from transformerupscaler_tpu.models.upsampler import (
+                        split_tail_kernels,
+                    )
+
+                    (km, bm), (kf, bf) = split_tail_kernels(
+                        self.final_upscale._params, scale,
+                        self.final_upscale_conv_kernel,
+                        self.final_upscale_conv_bias, dt,
+                        pre_kernel=pd2["kernel"], pre_bias=pd2["bias"])
+                    mid = tail_macro8_stream(dec_d, km, bm)
+                    cm = km.shape[3]
+                    midp = mid.reshape(b, h, w // 2, 2 * cm)
+                    b12 = conv2d_tail_packed(midp, kf, bf,
+                                             block=tail_block(kf.shape[3], w))
+                elif fold_pre:
                     b12 = tail_macro8_stream(dec_d, kc, bc,
                                              out_dtype=_tail_odt())
                 else:
@@ -787,9 +832,11 @@ class FastTransformer(nn.Module):
         if squash:
             # serve_quality: the squash is the LAST op touching the image;
             # at default TPU precision its f32 einsums would round both
-            # operands back to bf16 — HIGHEST keeps the f32 tail outputs
-            # f32 through to the clip.
-            prec = jax.lax.Precision.HIGHEST if quality else None
+            # operands back to bf16. HIGH (3-pass bf16, ~2^-21 relative)
+            # keeps the f32 tail outputs effectively f32 through to the
+            # clip at a third of HIGHEST's cost (0.369 vs 1.016 ms
+            # measured at the headline shape, tools/r4_model_bench.py).
+            prec = jax.lax.Precision.HIGH if "squash" in qparts else None
             out = resize_shuffled(outp, scale, res_out, precision=prec)
         else:
             out = pixel_shuffle(outp, scale)

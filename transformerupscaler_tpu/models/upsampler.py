@@ -129,6 +129,77 @@ def last_shuffle_factor(scale: int) -> int:
     return _STAGES[scale][-1][1]
 
 
+def split_tail_kernels(up_params: dict, scale: int, tail_kernel, tail_bias,
+                       dtype, pre_kernel=None, pre_bias=None):
+    """Branch-B tail as TWO convs instead of one fold: ``composed_tail_kernel``
+    composes the final commuted RGB tail INTO the 64-channel kernel, which
+    inflates the B tail's MACs through the rank-3 RGB bottleneck (x2:
+    7x7 64->12 = 37.6k MACs/px vs 5x5 64->12 + 3x3 12->12 = 20.5k; x4:
+    150k vs 24k). This returns ((k_mid, b_mid), (k_fin, b_fin)):
+
+      k_mid: [pre o stage-chain] WITHOUT the RGB tail — 5x5 (with pre),
+             64 -> 3*r_mid^2 at base resolution, where r_mid is the chain's
+             cumulative shuffle (2 at x2; 2 at x4 — only the FIRST stage,
+             see below; 3 at x3; 6 at x6).
+      k_fin: the RGB tail (x4: stage 2 AND the tail) commuted through every
+             shuffle to base resolution — a small 3*r_mid^2 -> 3*scale^2
+             conv applied AFTER k_mid.
+
+    Same interior math as the fold; the border ring differs (two zero-pads
+    instead of one — the same deviation class, documented in
+    PERFORMANCE.md). Apply k_fin with ``conv2d_tail_packed`` on the (free)
+    width-2 repack of k_mid's output.
+    """
+    from transformerupscaler_tpu.ops.conv import compose_conv3x3_kernels
+
+    cf = jnp.float32
+    stages = _STAGES[scale]
+    tb = None if tail_bias is None else tail_bias.astype(cf)
+    tk = tail_kernel.astype(cf)
+    k0 = up_params[f"s{scale}_c0_kernel"].astype(cf)
+    b0 = up_params[f"s{scale}_c0_bias"].astype(cf)
+    if len(stages) == 1:
+        r = stages[0][1]
+        k_fin = commute_conv_through_shuffle(tk, r)
+        b_fin = None if tb is None else jnp.repeat(tb, r * r)
+        k_mid, b_mid = k0, b0
+    else:
+        assert scale == 4 and len(stages) == 2
+        # Stage 2 o tail at 2x, all commuted to base: 3x3, 12 -> 48.
+        k1 = up_params["s4_c1_kernel"].astype(cf)
+        b1 = up_params["s4_c1_bias"].astype(cf)
+        t2 = commute_conv_through_shuffle(tk, 2)
+        tb2 = None if tb is None else jnp.repeat(tb, 4)
+        u, ub = compose_conv3x3_kernels(k1, b1, t2, tb2)  # 5x5 @2x
+        k_fin = commute_conv_through_shuffle(u, 2)  # 3x3, 12 -> 48 @base
+        b_fin = None if ub is None else jnp.repeat(ub, 4)
+        # Same output-phase permutation as composed_tail_kernel: k_fin's
+        # outputs come out (o, a2, b2, a1, b1) where the final 4x pixel is
+        # (4h + 2*a1 + a2, 4w + 2*b1 + b2); permute to pixel_shuffle(4)
+        # order (o, i, j) with i = 2*a1 + a2, j = 2*b1 + b2.
+        o = tk.shape[3]
+        perm = []
+        for oc in range(o):
+            for i in range(4):
+                for j in range(4):
+                    a1, a2 = i // 2, i % 2
+                    b1_, b2 = j // 2, j % 2
+                    perm.append(((((oc * 2 + a2) * 2 + b2) * 2 + a1) * 2
+                                 + b1_))
+        perm = jnp.asarray(perm)
+        k_fin = k_fin[..., perm]
+        b_fin = None if b_fin is None else b_fin[perm]
+        k_mid, b_mid = k0, b0
+    if pre_kernel is not None:
+        k_mid, b_mid = compose_conv3x3_kernels(
+            pre_kernel.astype(cf),
+            None if pre_bias is None else pre_bias.astype(cf), k_mid, b_mid)
+    return ((k_mid.astype(dtype), None if b_mid is None else
+             b_mid.astype(dtype)),
+            (k_fin.astype(dtype), None if b_fin is None else
+             b_fin.astype(dtype)))
+
+
 def composed_tail_kernel(up_params: dict, scale: int, tail_kernel, tail_bias,
                          dtype, pre_kernel=None, pre_bias=None):
     """Fold an entire Upsampler chain (+ optional preceding conv + trailing

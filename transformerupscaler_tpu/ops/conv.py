@@ -153,6 +153,8 @@ def conv2d_packed_dots_deint(xp: jnp.ndarray, kernel: jnp.ndarray,
                              bias: jnp.ndarray | None = None,
                              relu: bool = False,
                              hi_lo: bool = False,
+                             k_hi_lo: bool = False,
+                             pre_scale: float | None = None,
                              out_dtype=None) -> jnp.ndarray:
     """conv2d_packed_dots emitting the deinterleave4 layout with NO large
     transpose: the (tiny, 5.5 MB at 720p) INPUT is deinterleaved instead,
@@ -165,15 +167,25 @@ def conv2d_packed_dots_deint(xp: jnp.ndarray, kernel: jnp.ndarray,
     (XLA won't fuse it into the GEMM epilogue), the input one ~0.02.
     Exact (same reduction set, zero-padded extra slots).
 
-    hi_lo: f32-accurate conv on bf16 MXU passes (serve_quality mode). The
+    hi_lo: f32-accurate conv on bf16 MXU passes (serve_quality v1). The
     f32 input and kernel each split into bf16 hi + lo halves and the GEMM
     contracts [im_hi | im_lo | im_hi] against [k_hi; k_hi; k_lo] — three
-    of the four cross terms (lo*lo ~ 2^-18 relative, dropped). For conv1
-    the base K = kh*kwp*2Cin = 54, so even the tripled K = 162 is two MXU
-    depth tiles — the input-quantization and weight-rounding error of the
-    serving path's FIRST image-carrying op disappears for one extra MXU
-    pass. ``out_dtype`` picks the output dtype (default bfloat16 under
-    hi_lo, else xp.dtype).
+    of the four cross terms (lo*lo ~ 2^-18 relative, dropped). Measured
+    9.65 ms at 720p (vs 0.84 base) — the f32 im2col materialization, not
+    the GEMM, is the cost. Kept for probing; serving uses k_hi_lo.
+
+    k_hi_lo + pre_scale (serve_quality v2): exact-uint8 conv1. The caller
+    feeds bf16(x*255) — integers <=255 are EXACTLY representable in bf16
+    (8 significand bits) — and pre_scale=1/255 folds the de-normalization
+    into the f32 kernel BEFORE its bf16 hi/lo split, so only the KERNEL
+    needs splitting: the GEMM contracts [im | im] against [k_hi; k_lo]
+    (K 54 -> 108, still one MXU depth-tile pair) with f32 accumulation.
+    Same input-quantization + weight-rounding kill as hi_lo but the
+    im2col stays bf16 — no 9x f32 HBM traffic.
+
+    ``pre_scale`` multiplies the kernel (NOT the bias) by a scalar in f32
+    at trace time; usable with any mode. ``out_dtype`` picks the output
+    dtype (default bfloat16 under hi_lo/k_hi_lo, else xp.dtype).
     """
     b, h, wp2, c2i = xp.shape
     g = wp2 // 4
@@ -181,17 +193,31 @@ def conv2d_packed_dots_deint(xp: jnp.ndarray, kernel: jnp.ndarray,
     pad_h = (kh - 1) // 2
     pad = (kw - 1) // 2
     jmin = (0 - pad) // 2
-    if hi_lo:
+    f32acc = hi_lo or k_hi_lo
+    if f32acc:
         dt = out_dtype or jnp.bfloat16
         kp32 = pack_kernel_width2(kernel.astype(jnp.float32))
+        if pre_scale is not None:
+            kp32 = kp32 * jnp.float32(pre_scale)
         khp, kwp, _, c2o = kp32.shape
         km32 = kp32.reshape(khp * kwp * c2i, c2o)
         km_hi = km32.astype(jnp.bfloat16)
         km_lo = (km32 - km_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        km = jnp.concatenate([km_hi, km_hi, km_lo], axis=0)
+        if hi_lo:
+            km = jnp.concatenate([km_hi, km_hi, km_lo], axis=0)
+        else:
+            # Stack hi/lo along N, not K: doubling K forces a second
+            # im2col materialization (concat([im, im]) measured 5.03 ms
+            # vs 0.59 base at 720p — XLA rematerializes the gather for
+            # both halves); one GEMM against [k_hi | k_lo] reads im once
+            # and the halves-add fuses into the epilogue.
+            km = jnp.concatenate([km_hi, km_lo], axis=1)
     else:
         dt = out_dtype or xp.dtype
-        kp = pack_kernel_width2(kernel).astype(xp.dtype)
+        k32 = kernel.astype(jnp.float32)
+        if pre_scale is not None:
+            k32 = k32 * jnp.float32(pre_scale)
+        kp = pack_kernel_width2(k32).astype(xp.dtype)
         khp, kwp, _, c2o = kp.shape
         km = kp.reshape(khp * kwp * c2i, c2o)
     # Pad a whole group (4 packed cols) per side so every width tap is a
@@ -226,7 +252,15 @@ def conv2d_packed_dots_deint(xp: jnp.ndarray, kernel: jnp.ndarray,
                  for dy, js, gs in cols], axis=-1)
         y = jnp.einsum("bhgk,ko->bhgo", im, km,
                        preferred_element_type=jnp.float32)
-        if hi_lo:
+        if k_hi_lo:
+            # Kernel-only split: one bf16 im contracts against
+            # [k_hi | k_lo] stacked along N; the halves add in f32.
+            # bf16*bf16 products are EXACT in the f32 accumulator
+            # (8+8 significand bits < 24), so with an exact-integer im
+            # the only error left is the kernel's dropped lo-of-lo
+            # (~2^-17 relative).
+            y = y[..., :c2o] + y[..., c2o:]
+        if f32acc:
             if bias is not None:
                 y = y + jnp.tile(bias.astype(jnp.float32), 2)
             if relu:
@@ -235,7 +269,7 @@ def conv2d_packed_dots_deint(xp: jnp.ndarray, kernel: jnp.ndarray,
         else:
             outs.append(y.astype(dt))
     out = jnp.stack(outs, axis=2)  # (B, H, 4, G, 2Cout)
-    if not hi_lo:
+    if not f32acc:
         if bias is not None:
             out = out + jnp.tile(bias.astype(dt), 2)
         if relu:
