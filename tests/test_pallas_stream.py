@@ -3,6 +3,7 @@ packed formulations (interpret mode on CPU)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from transformerupscaler_tpu.ops.conv import (
     conv2d_packed_raw,
@@ -467,3 +468,39 @@ def test_conv2d_packed_dots_deint_k_hi_lo_uint8_exact(rng):
         jnp.asarray(want).astype(jnp.bfloat16).astype(jnp.float32))
     err_bf16 = np.max(np.abs(bf16_once - want))
     assert err < err_bf16 / 8, (err, err_bf16)
+
+
+@pytest.mark.parametrize("kh,cm,co", [(5, 12, 12), (5, 12, 48), (3, 27, 27)])
+def test_tail_finish_stream_matches_sequential(rng, kh, cm, co):
+    """Fused split-B tail (mid conv + in-VMEM finish) matches the
+    sequential two-conv zero-pad form everywhere INCLUDING the border
+    (the kernel zeroes out-of-image mid rows exactly like the finish's
+    own zero-pad)."""
+    from transformerupscaler_tpu.ops.conv import conv2d
+    from transformerupscaler_tpu.ops.pallas.stream import (
+        deinterleave4,
+        tail_finish_stream,
+    )
+
+    B, H, W, C = 1, 24, 32, 64
+    xp = jnp.asarray(rng.standard_normal((B, H, W // 2, 2 * C))
+                     .astype(np.float32)).astype(jnp.bfloat16)
+    km = jnp.asarray(rng.standard_normal((kh, kh, C, cm)).astype(np.float32)
+                     * 0.1)
+    bm = jnp.asarray(rng.standard_normal(cm).astype(np.float32) * 0.1)
+    kf = jnp.asarray(rng.standard_normal((3, 3, cm, co)).astype(np.float32)
+                     * 0.1)
+    bf = jnp.asarray(rng.standard_normal(co).astype(np.float32) * 0.1)
+
+    xn = np.asarray(xp, np.float32).reshape(B, H, W, C)
+    mid = conv2d(jnp.asarray(xn), km, bm, padding=(kh - 1) // 2)
+    want = np.asarray(conv2d(mid, kf, bf, padding=1), np.float32)
+
+    got = tail_finish_stream(deinterleave4(xp), km, bm, kf, bf,
+                             interpret=True)
+    got = np.asarray(got, np.float32).reshape(want.shape)
+    np.testing.assert_allclose(got, want, atol=0.15, rtol=0.05)
+    # f32 out_dtype path (serve_quality interplay).
+    got32 = tail_finish_stream(deinterleave4(xp), km, bm, kf, bf,
+                               out_dtype=jnp.float32, interpret=True)
+    assert got32.dtype == jnp.float32

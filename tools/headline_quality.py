@@ -115,8 +115,9 @@ def main():
         # Bisect serve_quality piece by piece: one engine per single
         # active part. Whichever arm reproduces the full-quality delta
         # carries the regression.
-        for part in ("conv1", "tails", "squash"):
-            extra[f"q_{part}"] = UpscalerEngine(
+        for part in ("conv1", "tails", "squash", "conv1,tails,squash"):
+            tag = part if "," not in part else "all"
+            extra[f"q_{tag}"] = UpscalerEngine(
                 "FastTransformer", dtype=jnp.bfloat16,
                 checkpoint_dir=args.checkpoint_dir, compose_tails=True,
                 pallas_serve=True, attn_impl="fused2", serve_quality=True,

@@ -40,8 +40,8 @@ PEAK_TFS = 197.0
 
 def main():
     K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    scales = [int(s) for s in (sys.argv[2].split(",") if len(sys.argv) > 2
-                               else "2,3,4")]
+    scales = [int(s) for s in (sys.argv[2] if len(sys.argv) > 2
+                               else "2,3,4").split(",")]
     from transformerupscaler_tpu.ops.conv import conv2d_tail_packed
     from transformerupscaler_tpu.ops.pallas.stream import (
         deinterleave4,
@@ -68,30 +68,44 @@ def main():
                     {"k": k7, "b": b7}, xd, K, log=print)
         report(per, H * W * 49 * C * co / 1e9)
 
-        # Split: [pre o stage] 5x5 64->12, then the commuted tail
-        # 3x3 12->co as a block-8 macro conv on the (free) repack.
-        k5 = jnp.asarray(rng.standard_normal((5, 5, C, 12)) * 0.05, dt)
-        b5 = jnp.asarray(rng.standard_normal(12) * 0.05, dt)
-        kt = jnp.asarray(rng.standard_normal((3, 3, 12, co)) * 0.05, dt)
+        # Split: [pre o stage] 5x5 64->cm, then the commuted tail
+        # 3x3 cm->co (cm = 12 at x2/x4 — x4 splits after stage 1 — and
+        # 27 at x3; models/upsampler.split_tail_kernels).
+        cm = 12 if s in (2, 4) else 3 * s * s
+        k5 = jnp.asarray(rng.standard_normal((5, 5, C, cm)) * 0.05, dt)
+        b5 = jnp.asarray(rng.standard_normal(cm) * 0.05, dt)
+        kt = jnp.asarray(rng.standard_normal((3, 3, cm, co)) * 0.05, dt)
         bt = jnp.asarray(rng.standard_normal(co) * 0.05, dt)
 
         def split(p, v):
             mid = tail_macro8_stream(v, p["k5"], p["b5"])
-            midp = mid.reshape(B, H, W // 2, 24)
+            midp = mid.reshape(B, H, W // 2, 2 * cm)
             return conv2d_tail_packed(midp, p["kt"], p["bt"], block=8)
 
-        per = probe(f"x{s} B split: 5x5 64->12 + 3x3 12->{co}",
+        per = probe(f"x{s} B split: 5x5 64->{cm} + 3x3 {cm}->{co}",
                     split, {"k5": k5, "b5": b5, "kt": kt, "bt": bt},
                     xd, K, log=print)
-        report(per, H * W * (25 * C * 12 + 9 * 12 * co) / 1e9)
+        report(per, H * W * (25 * C * cm + 9 * cm * co) / 1e9)
 
         # The finish alone (attribution).
-        midp = jnp.asarray(rng.standard_normal((B, H, W // 2, 24)), dt)
-        per = probe(f"x{s}   finish alone: 3x3 12->{co} block-8",
+        midp = jnp.asarray(rng.standard_normal((B, H, W // 2, 2 * cm)), dt)
+        per = probe(f"x{s}   finish alone: 3x3 {cm}->{co} block-8",
                     lambda p, v: conv2d_tail_packed(v, p["kt"], p["bt"],
                                                     block=8),
                     {"kt": kt, "bt": bt}, midp, K, log=print)
-        report(per, H * W * 9 * 12 * co / 1e9)
+        report(per, H * W * 9 * cm * co / 1e9)
+
+        # Fused: mid + in-VMEM finish in one kernel (the shipping form).
+        from transformerupscaler_tpu.ops.pallas.stream import (
+            tail_finish_stream,
+        )
+
+        per = probe(f"x{s} B FUSED: 5x5 64->{cm} + finish in-kernel",
+                    lambda p, v: tail_finish_stream(v, p["k5"], p["b5"],
+                                                    p["kt"], p["bt"]),
+                    {"k5": k5, "b5": b5, "kt": kt, "bt": bt}, xd, K,
+                    log=print)
+        report(per, H * W * (25 * C * cm + 9 * cm * co) / 1e9)
 
 
 if __name__ == "__main__":

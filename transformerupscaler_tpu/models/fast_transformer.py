@@ -108,22 +108,28 @@ class FastTransformer(nn.Module):
     # TUX_SERVE_QUALITY=1): removes the IMAGE-LEVEL bf16 roundings that the
     # floor law says bound the headline's GT PSNR delta (PERFORMANCE.md
     # quality-gate section) at near-zero fps cost:
-    #   - conv1 runs exact-uint8 dots: bf16(x*255) is EXACT (integers
-    #     <= 255 fit bf16's 8 significand bits) and 1/255 folds into the
-    #     f32 kernel before a kernel-only hi/lo split
-    #     (conv.conv2d_packed_dots_deint k_hi_lo — one extra MXU depth
-    #     tile; kills both the input-cast and conv1-weight rounding);
+    #   - (opt-in via quality_parts="conv1,...", OFF by default — see the
+    #     quality_parts field) conv1 runs exact-uint8 dots: bf16(x*255) is
+    #     EXACT (integers <= 255 fit bf16's 8 significand bits) and 1/255
+    #     folds into the f32 kernel before a kernel-only hi/lo split
+    #     (conv.conv2d_packed_dots_deint k_hi_lo);
     #   - both branch tails emit f32 (TUX_F32_TAIL semantics), so the
     #     branch add / squash / clip never round the image through bf16;
     #   - the squash resize einsums run at Precision.HIGH (3-pass bf16 on
     #     f32 operands, ~2^-21; the default TPU precision would re-round
     #     the f32 image to bf16 inside the matmul).
     serve_quality: bool = False
-    # Attribution knob for serve_quality: which of its three pieces are
-    # active ("conv1", "tails", "squash", comma-separated). The TPU GT
-    # bisect (tools/headline_quality.py --attribute quality_parts) uses
-    # this to locate regressions; serving always runs all three.
-    quality_parts: str = "conv1,tails,squash"
+    # Which serve_quality pieces are active ("conv1", "tails", "squash",
+    # comma-separated; tools/headline_quality.py --attribute quality_parts
+    # bisects them). Default EXCLUDES conv1: the exact-uint8 k_hi_lo conv1
+    # measures 2x closer to the f32 path at the FEATURE level (feat1
+    # rel-rms 1.66e-3 vs 3.15e-3, real frame + ep-100 kernel, TPU) yet
+    # WORSENS the GT delta (+0.182 vs +0.059 mean on the 12-frame held-out
+    # set) — the checkpoint was trained with the bf16 input cast and its
+    # downstream weights co-adapted to those features (the bf16 headline
+    # even beats the exact path on 2 of 12 frames). Mechanism kept for
+    # checkpoints trained at f32 (reference-imported weights).
+    quality_parts: str = "tails,squash"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -748,21 +754,24 @@ class FastTransformer(nn.Module):
                                              pd1["kernel"].astype(dt),
                                              pd1["bias"], relu=True)
                 split_tail = (_os.environ.get("TUX_SPLIT_TAIL", "0") == "1"
-                              and fold_pre and scale in (2, 3, 4)
-                              and not quality)
+                              and fold_pre and scale in (2, 3, 4))
                 if split_tail:
                     # Split-B tail: the fold through the rank-3 RGB
                     # bottleneck nearly doubles the B tail's MACs at x2
                     # (6x at x4) just to save one tiny conv — run
-                    # [pre o stage] as the 5x5 macro-8 stream kernel and
-                    # the commuted RGB tail as a small block-8 XLA conv
-                    # (Pallas -> XLA is the clean crossing direction).
-                    # Interior-exact vs the fold; the border ring differs
-                    # (two zero-pads instead of one — same deviation
-                    # class). Not under serve_quality: the mid tensor
-                    # would round the B image through bf16.
+                    # [pre o stage] (5x5, 64 -> 3r_mid^2) with the
+                    # commuted RGB tail applied IN-KERNEL on the VMEM mid
+                    # (ops/pallas/stream.tail_finish_stream; the XLA
+                    # block-8 finish alone costs 0.45 ms and erases the
+                    # win). Interior-exact vs the fold; the border ring
+                    # follows the sequential two-conv zero-pad (same
+                    # deviation class), and the mid rounds once through
+                    # bf16 (the finish dots' operands).
                     from transformerupscaler_tpu.models.upsampler import (
                         split_tail_kernels,
+                    )
+                    from transformerupscaler_tpu.ops.pallas.stream import (
+                        tail_finish_stream,
                     )
 
                     (km, bm), (kf, bf) = split_tail_kernels(
@@ -770,11 +779,8 @@ class FastTransformer(nn.Module):
                         self.final_upscale_conv_kernel,
                         self.final_upscale_conv_bias, dt,
                         pre_kernel=pd2["kernel"], pre_bias=pd2["bias"])
-                    mid = tail_macro8_stream(dec_d, km, bm)
-                    cm = km.shape[3]
-                    midp = mid.reshape(b, h, w // 2, 2 * cm)
-                    b12 = conv2d_tail_packed(midp, kf, bf,
-                                             block=tail_block(kf.shape[3], w))
+                    b12 = tail_finish_stream(dec_d, km, bm, kf, bf,
+                                             out_dtype=_tail_odt())
                 elif fold_pre:
                     b12 = tail_macro8_stream(dec_d, kc, bc,
                                              out_dtype=_tail_odt())

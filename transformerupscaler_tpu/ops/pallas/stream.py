@@ -951,3 +951,158 @@ def tail_macro8_stream_int8(xq: jnp.ndarray, kernel, x_scale, bias=None,
         interpret=interpret,
     )(xq, xq, xq, w, sc, bp)
     return out
+
+
+def pack_finish_macro8(kernel) -> jnp.ndarray:
+    """(3, 3, cm, co) finish conv -> (3, 3, 8*cm, 8*co) macro-8 weights.
+
+    The finish (the commuted RGB tail of the split branch-B routing,
+    models/upsampler.split_tail_kernels) reads the mid tensor in macro-8
+    layout: output pixel s of a block taps mid pixels s+dx0-1, which live
+    in macro block b-1 (slot 7), b (slots 0..7) or b+1 (slot 0) — so one
+    (8*cm, 8*co) GEMM per (dy, neighbor-block) covers all eight pixels.
+    """
+    kh, kw, cm, co = kernel.shape
+    assert (kh, kw) == (3, 3)
+    kp = jnp.zeros((3, 3, 8 * cm, 8 * co), jnp.float32)
+    kn = jnp.asarray(kernel, jnp.float32)
+    for s in range(8):
+        for dx0 in range(3):
+            t = s + dx0 - 1
+            blk = (t // 8) + 1
+            slot = t % 8
+            kp = kp.at[:, blk, slot * cm:(slot + 1) * cm,
+                       s * co:(s + 1) * co].add(kn[:, dx0])
+    return kp
+
+
+def _tail_finish_kernel(cur, above, below, wm, bm, wf, bf, out, slab, *,
+                        g_img, boff, rows, h_img):
+    """Split branch-B tail fused: the 5x5 mid conv's (rows+2) rows stay in
+    VMEM as a value and the 3x3 finish applies in-kernel — the mid tensor
+    (the XLA-finish split's 0.45 ms + its Pallas->conv-emitter boundary)
+    never touches HBM. Zero-pad semantics of the sequential two-conv form:
+    the input slab zero-pads the mid conv; mid rows/blocks outside the
+    image are ZEROED (not bias-filled) before the finish, matching the
+    finish's own zero-pad."""
+    i = pl.program_id(1)
+    n = pl.num_programs(1)
+    dt = out.dtype
+    kh, wcols, _, ncm = wm.shape  # ncm = 8*cm
+    nco = wf.shape[3]             # 8*co
+    wb = g_img
+
+    slab[:] = jnp.zeros_like(slab)
+    slab[3:3 + rows, :, 1:1 + g_img, :] = cur[0]
+
+    @pl.when(i > 0)
+    def _():
+        slab[0:3, :, 1:1 + g_img, :] = above[0, 1:4]
+
+    @pl.when(i < n - 1)
+    def _():
+        slab[3 + rows:6 + rows, :, 1:1 + g_img, :] = below[0, 0:3]
+
+    rmid = rows + 2
+    roff = 2 - (kh - 1) // 2  # slab rows 0..2 are halo; a 3x3 mid skips 1
+    acc = jnp.zeros((rmid * wb, ncm), jnp.float32)
+    for dy in range(kh):
+        for c in range(wcols):
+            rel = c - boff + 4
+            g0, j = rel // 4, rel % 4
+            piece = slab[roff + dy:roff + dy + rmid, j, g0:g0 + wb, :]
+            acc = acc + jnp.dot(piece.reshape(rmid * wb, 128), wm[dy, c],
+                                preferred_element_type=jnp.float32)
+    acc = acc + bm[0:1, :].astype(jnp.float32)
+    # Mid rows outside the image (the finish's row halo at the top/bottom
+    # cells) are zero in the sequential form.
+    row = (jax.lax.broadcasted_iota(jnp.int32, (rmid * wb, 1), 0) // wb
+           + i * rows - 1)
+    valid = (row >= 0) & (row < h_img)
+    mid = jnp.where(valid, acc, 0.0)
+    mid = mid.reshape(rmid, wb, ncm).astype(jnp.bfloat16)
+    zpad = jnp.zeros((rmid, 1, ncm), jnp.bfloat16)
+    midp = jnp.concatenate([zpad, mid, zpad], axis=1)
+
+    acc2 = jnp.zeros((rows * wb, nco), jnp.float32)
+    for dy in range(3):
+        for blk in range(3):
+            piece = midp[dy:dy + rows, blk:blk + wb, :]
+            acc2 = acc2 + jnp.dot(piece.reshape(rows * wb, ncm),
+                                  wf[dy, blk],
+                                  preferred_element_type=jnp.float32)
+    acc2 = acc2 + bf[0:1, :].astype(jnp.float32)
+    out[0] = acc2.reshape(rows, wb, nco).astype(dt)
+
+
+def tail_finish_stream(xt: jnp.ndarray, k_mid, b_mid, k_fin, b_fin,
+                       rows: int | None = None, out_dtype=None,
+                       interpret: bool | None = None) -> jnp.ndarray:
+    """Fused split branch-B tail: macro-8 [pre o stage] conv (<=5x5,
+    64 -> cm) + in-VMEM 3x3 finish (cm -> co, the commuted RGB tail).
+
+    xt: (B, H, 4, G, 128) de-interleaved packed features. Returns
+    (B, H, G, 8*co) macro-8. Same interior math as the composed 7x7 fold
+    at half (x2/x3) to a sixth (x4) of its MACs; the border ring follows
+    the sequential two-conv zero-pad (split_tail_kernels docstring). The
+    XLA-finish split measured no win (1.78 vs 1.87 composed at x2: the
+    block-8 conv-emitter finish alone costs 0.45 ms); fusing keeps the
+    mid off HBM entirely. One extra bf16 rounding of the mid vs the
+    composed form (the finish dots read bf16 operands).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kh, kw, cin, cm = k_mid.shape
+    assert (kh - 1) // 2 <= 2, "mid conv taller than the 3-row halo"
+    co = k_fin.shape[3]
+    b, h, _, g_img, _ = xt.shape
+    if rows is None:
+        env = os.environ.get("TUX_TAIL_ROWS")
+        if env is not None:
+            rows = int(env)
+        else:
+            rows = next((r for r in (24, 16, 8) if h % r == 0), 8)
+    if h % rows:
+        rows = 8
+    dt = xt.dtype
+    odt = out_dtype or dt
+    wm, boff = pack_tail_macro8(k_mid)
+    wm = wm.astype(dt)
+    wf = pack_finish_macro8(k_fin).astype(jnp.bfloat16)
+    bmp = jnp.tile(jnp.asarray(
+        b_mid if b_mid is not None else jnp.zeros((cm,)),
+        jnp.float32).reshape(1, cm), (1, 8))
+    bfp = jnp.tile(jnp.asarray(
+        b_fin if b_fin is not None else jnp.zeros((co,)),
+        jnp.float32).reshape(1, co), (1, 8))
+
+    nr = rows // 4
+    last = h // 4 - 1
+    in_specs = [
+        pl.BlockSpec((1, rows, 4, g_img, 128),
+                     lambda nb, i: (nb, i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4, 4, g_img, 128),
+                     lambda nb, i: (nb, jnp.maximum(i * nr - 1, 0), 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4, 4, g_img, 128),
+                     lambda nb, i: (nb, jnp.minimum(i * nr + nr, last),
+                                    0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        _wspec(wm), _wspec(bmp), _wspec(wf), _wspec(bfp),
+    ]
+    out = pl.pallas_call(
+        partial(_tail_finish_kernel, g_img=g_img, boff=boff, rows=rows,
+                h_img=h),
+        grid=(b, h // rows),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, rows, g_img, 8 * co),
+                               lambda nb, i: (nb, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, g_img, 8 * co), odt),
+        scratch_shapes=[pltpu.VMEM((rows + 6, 4, g_img + 2, 128), dt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xt, xt, xt, wm, bmp, wf, bfp)
+    return out
