@@ -765,8 +765,10 @@ class FastTransformer(nn.Module):
                     # block-8 finish alone costs 0.45 ms and erases the
                     # win). Interior-exact vs the fold; the border ring
                     # follows the sequential two-conv zero-pad (same
-                    # deviation class), and the mid rounds once through
-                    # bf16 (the finish dots' operands).
+                    # deviation class). The kernel's hi_lo_fin default
+                    # keeps the f32 mid exact through the finish dots, so
+                    # split serving rounds the image NO more than the
+                    # composed fold does.
                     from transformerupscaler_tpu.models.upsampler import (
                         split_tail_kernels,
                     )

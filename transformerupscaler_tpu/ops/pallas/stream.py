@@ -977,7 +977,7 @@ def pack_finish_macro8(kernel) -> jnp.ndarray:
 
 
 def _tail_finish_kernel(cur, above, below, wm, bm, wf, bf, out, slab, *,
-                        g_img, boff, rows, h_img):
+                        g_img, boff, rows, h_img, hi_lo_fin):
     """Split branch-B tail fused: the 5x5 mid conv's (rows+2) rows stay in
     VMEM as a value and the 3x3 finish applies in-kernel — the mid tensor
     (the XLA-finish split's 0.45 ms + its Pallas->conv-emitter boundary)
@@ -1019,10 +1019,16 @@ def _tail_finish_kernel(cur, above, below, wm, bm, wf, bf, out, slab, *,
     row = (jax.lax.broadcasted_iota(jnp.int32, (rmid * wb, 1), 0) // wb
            + i * rows - 1)
     valid = (row >= 0) & (row < h_img)
-    mid = jnp.where(valid, acc, 0.0)
-    mid = mid.reshape(rmid, wb, ncm).astype(jnp.bfloat16)
+    mid32 = jnp.where(valid, acc, 0.0).reshape(rmid, wb, ncm)
     zpad = jnp.zeros((rmid, 1, ncm), jnp.bfloat16)
-    midp = jnp.concatenate([zpad, mid, zpad], axis=1)
+    mid_hi = mid32.astype(jnp.bfloat16)
+    midp = jnp.concatenate([zpad, mid_hi, zpad], axis=1)
+    if hi_lo_fin:
+        # hi/lo the f32 mid so the finish dots lose NO precision: the mid
+        # rounding was the split form's one extra image rounding (+0.011
+        # dB GT on the 12-frame gate). 9 extra tiny dots, all in VMEM.
+        mid_lo = (mid32 - mid_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        midp_lo = jnp.concatenate([zpad, mid_lo, zpad], axis=1)
 
     acc2 = jnp.zeros((rows * wb, nco), jnp.float32)
     for dy in range(3):
@@ -1031,12 +1037,18 @@ def _tail_finish_kernel(cur, above, below, wm, bm, wf, bf, out, slab, *,
             acc2 = acc2 + jnp.dot(piece.reshape(rows * wb, ncm),
                                   wf[dy, blk],
                                   preferred_element_type=jnp.float32)
+            if hi_lo_fin:
+                piece = midp_lo[dy:dy + rows, blk:blk + wb, :]
+                acc2 = acc2 + jnp.dot(piece.reshape(rows * wb, ncm),
+                                      wf[dy, blk],
+                                      preferred_element_type=jnp.float32)
     acc2 = acc2 + bf[0:1, :].astype(jnp.float32)
     out[0] = acc2.reshape(rows, wb, nco).astype(dt)
 
 
 def tail_finish_stream(xt: jnp.ndarray, k_mid, b_mid, k_fin, b_fin,
                        rows: int | None = None, out_dtype=None,
+                       hi_lo_fin: bool = True,
                        interpret: bool | None = None) -> jnp.ndarray:
     """Fused split branch-B tail: macro-8 [pre o stage] conv (<=5x5,
     64 -> cm) + in-VMEM 3x3 finish (cm -> co, the commuted RGB tail).
@@ -1047,8 +1059,10 @@ def tail_finish_stream(xt: jnp.ndarray, k_mid, b_mid, k_fin, b_fin,
     the sequential two-conv zero-pad (split_tail_kernels docstring). The
     XLA-finish split measured no win (1.78 vs 1.87 composed at x2: the
     block-8 conv-emitter finish alone costs 0.45 ms); fusing keeps the
-    mid off HBM entirely. One extra bf16 rounding of the mid vs the
-    composed form (the finish dots read bf16 operands).
+    mid off HBM entirely. ``hi_lo_fin`` (default on) splits the f32 mid
+    hi/lo for the finish dots — bf16*bf16 products are exact in the f32
+    accumulator, so the split form loses NOTHING vs the composed fold
+    (without it the mid's one bf16 rounding measured +0.011 dB GT).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1093,7 +1107,7 @@ def tail_finish_stream(xt: jnp.ndarray, k_mid, b_mid, k_fin, b_fin,
     ]
     out = pl.pallas_call(
         partial(_tail_finish_kernel, g_img=g_img, boff=boff, rows=rows,
-                h_img=h),
+                h_img=h, hi_lo_fin=hi_lo_fin),
         grid=(b, h // rows),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, rows, g_img, 8 * co),
