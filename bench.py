@@ -56,9 +56,13 @@ def main():
     res_out = (1080, 1920)
     config = os.environ.get("TUX_BENCH_CONFIG", "bf16")
     key = jax.random.PRNGKey(0)
-    # "quality" = serve_quality mode: f32 input (the exact hi/lo conv1
-    # consumes the unrounded image), f32 tails/squash/clip — the recorded
-    # joint-north-star config (>=120 fps at <=0.05 dB, BASELINE.md).
+    # "quality" = serve_quality mode (quality_parts default tails,squash):
+    # f32 tails + HIGH-precision squash keep the image f32 from the tail
+    # GEMMs to the clip — the joint-north-star config (>=120 fps at
+    # <=0.05 dB, BASELINE.md; measured +0.0495 dB mean on the 12-frame
+    # held-out gate). The exact-uint8 conv1 piece is OFF by default — it
+    # measured feature-closer but GT-worse on the bf16-trained ep-100
+    # checkpoint (models/fast_transformer.py quality_parts docstring).
     x_dt = jnp.float32 if config == "quality" else jnp.bfloat16
     x = jax.random.uniform(key, (1, 720, 1280, 3), x_dt)
 

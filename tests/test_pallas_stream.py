@@ -500,7 +500,17 @@ def test_tail_finish_stream_matches_sequential(rng, kh, cm, co):
                              interpret=True)
     got = np.asarray(got, np.float32).reshape(want.shape)
     np.testing.assert_allclose(got, want, atol=0.15, rtol=0.05)
-    # f32 out_dtype path (serve_quality interplay).
+    # f32 out_dtype path (serve_quality interplay); hi_lo_fin (the
+    # default) hi/los the f32 mid AND the f32 finish weights, so it must
+    # sit closer to the f32 sequential reference than the plain-bf16
+    # finish.
     got32 = tail_finish_stream(deinterleave4(xp), km, bm, kf, bf,
                                out_dtype=jnp.float32, interpret=True)
     assert got32.dtype == jnp.float32
+    lo = tail_finish_stream(deinterleave4(xp), km, bm, kf, bf,
+                            out_dtype=jnp.float32, hi_lo_fin=False,
+                            interpret=True)
+    e_hi = np.abs(np.asarray(got32, np.float32).reshape(want.shape) - want)
+    e_lo = np.abs(np.asarray(lo, np.float32).reshape(want.shape) - want)
+    assert float(e_hi.mean()) <= float(e_lo.mean()) * 1.01, (
+        e_hi.mean(), e_lo.mean())

@@ -781,8 +781,12 @@ class FastTransformer(nn.Module):
                         self.final_upscale_conv_kernel,
                         self.final_upscale_conv_bias, dt,
                         pre_kernel=pd2["kernel"], pre_bias=pd2["bias"])
+                    # hi_lo_fin only under serve_quality: the mid's one
+                    # bf16 rounding costs +0.011 dB GT — inside the fast
+                    # config's budget, not the quality config's.
                     b12 = tail_finish_stream(dec_d, km, bm, kf, bf,
-                                             out_dtype=_tail_odt())
+                                             out_dtype=_tail_odt(),
+                                             hi_lo_fin="tails" in qparts)
                 elif fold_pre:
                     b12 = tail_macro8_stream(dec_d, kc, bc,
                                              out_dtype=_tail_odt())

@@ -194,10 +194,13 @@ def split_tail_kernels(up_params: dict, scale: int, tail_kernel, tail_bias,
         k_mid, b_mid = compose_conv3x3_kernels(
             pre_kernel.astype(cf),
             None if pre_bias is None else pre_bias.astype(cf), k_mid, b_mid)
+    # k_fin/b_fin stay f32: the fold rounds ONE composed kernel to the
+    # compute dtype; rounding the finish separately would add a second
+    # weight-rounding term on the B image (tail_finish_stream's
+    # hi_lo_fin splits the f32 finish weights losslessly in-kernel).
     return ((k_mid.astype(dtype), None if b_mid is None else
              b_mid.astype(dtype)),
-            (k_fin.astype(dtype), None if b_fin is None else
-             b_fin.astype(dtype)))
+            (k_fin, b_fin))
 
 
 def composed_tail_kernel(up_params: dict, scale: int, tail_kernel, tail_bias,

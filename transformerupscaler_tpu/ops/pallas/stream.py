@@ -1024,21 +1024,29 @@ def _tail_finish_kernel(cur, above, below, wm, bm, wf, bf, out, slab, *,
     mid_hi = mid32.astype(jnp.bfloat16)
     midp = jnp.concatenate([zpad, mid_hi, zpad], axis=1)
     if hi_lo_fin:
-        # hi/lo the f32 mid so the finish dots lose NO precision: the mid
-        # rounding was the split form's one extra image rounding (+0.011
-        # dB GT on the 12-frame gate). 9 extra tiny dots, all in VMEM.
+        # hi/lo BOTH finish operands so the split form loses nothing vs
+        # the fold: the f32 mid (its bf16 rounding is one extra image
+        # rounding the fold doesn't have) AND the f32 finish weights (the
+        # fold rounds ONE composed kernel; a separately-rounded finish
+        # would be a second weight-rounding term). wf here is [hi | lo]
+        # stacked along N; three dot terms (lo*lo dropped, ~2^-17).
         mid_lo = (mid32 - mid_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         midp_lo = jnp.concatenate([zpad, mid_lo, zpad], axis=1)
+        nco = nco // 2
 
     acc2 = jnp.zeros((rows * wb, nco), jnp.float32)
     for dy in range(3):
         for blk in range(3):
             piece = midp[dy:dy + rows, blk:blk + wb, :]
-            acc2 = acc2 + jnp.dot(piece.reshape(rows * wb, ncm),
-                                  wf[dy, blk],
-                                  preferred_element_type=jnp.float32)
             if hi_lo_fin:
+                y2 = jnp.dot(piece.reshape(rows * wb, ncm), wf[dy, blk],
+                             preferred_element_type=jnp.float32)
+                acc2 = acc2 + y2[:, :nco] + y2[:, nco:]
                 piece = midp_lo[dy:dy + rows, blk:blk + wb, :]
+                acc2 = acc2 + jnp.dot(piece.reshape(rows * wb, ncm),
+                                      wf[dy, blk, :, :nco],
+                                      preferred_element_type=jnp.float32)
+            else:
                 acc2 = acc2 + jnp.dot(piece.reshape(rows * wb, ncm),
                                       wf[dy, blk],
                                       preferred_element_type=jnp.float32)
@@ -1082,7 +1090,13 @@ def tail_finish_stream(xt: jnp.ndarray, k_mid, b_mid, k_fin, b_fin,
     odt = out_dtype or dt
     wm, boff = pack_tail_macro8(k_mid)
     wm = wm.astype(dt)
-    wf = pack_finish_macro8(k_fin).astype(jnp.bfloat16)
+    wf32 = pack_finish_macro8(k_fin)
+    if hi_lo_fin:
+        wf_hi = wf32.astype(jnp.bfloat16)
+        wf_lo = (wf32 - wf_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        wf = jnp.concatenate([wf_hi, wf_lo], axis=3)
+    else:
+        wf = wf32.astype(jnp.bfloat16)
     bmp = jnp.tile(jnp.asarray(
         b_mid if b_mid is not None else jnp.zeros((cm,)),
         jnp.float32).reshape(1, cm), (1, 8))
