@@ -56,13 +56,14 @@ def main():
     res_out = (1080, 1920)
     config = os.environ.get("TUX_BENCH_CONFIG", "bf16")
     key = jax.random.PRNGKey(0)
-    # "quality" = serve_quality mode (quality_parts default tails,squash):
-    # f32 tails + HIGH-precision squash keep the image f32 from the tail
-    # GEMMs to the clip — the joint-north-star config (>=120 fps at
+    # "quality" = serve_quality mode (quality_parts default "tails"):
+    # the branch tails emit f32 so the add/squash/clip never round the
+    # image through bf16 — the joint-north-star config (>=120 fps at
     # <=0.05 dB, BASELINE.md; measured +0.0495 dB mean on the 12-frame
-    # held-out gate). The exact-uint8 conv1 piece is OFF by default — it
-    # measured feature-closer but GT-worse on the bf16-trained ep-100
-    # checkpoint (models/fast_transformer.py quality_parts docstring).
+    # held-out gate). HIGH/HIGHEST squash and the exact-uint8 conv1 are
+    # opt-in parts; both measured unnecessary or harmful on the
+    # bf16-trained ep-100 checkpoint (models/fast_transformer.py
+    # quality_parts docstring).
     x_dt = jnp.float32 if config == "quality" else jnp.bfloat16
     x = jax.random.uniform(key, (1, 720, 1280, 3), x_dt)
 

@@ -123,6 +123,44 @@ def main():
         err(f"tail {kh}x{kh} bf16-out (for scale)",
             np.asarray(got_tail_bf16(xf), np.float32), want)
 
+    # tail_finish_stream (split-B tail), the shipping configs: bf16 out
+    # (fast) and f32 out (quality), both with hi_lo_fin (f32 mid AND f32
+    # finish weights split losslessly in-kernel).
+    from transformerupscaler_tpu.ops.pallas.stream import tail_finish_stream
+
+    km = jnp.asarray(rng.standard_normal((5, 5, C, 12)) * 0.05, jnp.float32)
+    bm5 = jnp.asarray(rng.standard_normal(12) * 0.05, jnp.float32)
+    kf5 = jnp.asarray(rng.standard_normal((3, 3, 12, 12)) * 0.1, jnp.float32)
+    bf5 = jnp.asarray(rng.standard_normal(12) * 0.05, jnp.float32)
+
+    @jax.jit
+    def ref_fin(xv):
+        from jax import lax
+
+        xn = xv.reshape(B, H, W, C)
+        dn = lax.conv_dimension_numbers(xn.shape, km.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        mid = lax.conv_general_dilated(
+            xn, km, (1, 1), ((2, 2), (2, 2)), dimension_numbers=dn,
+            precision=jax.lax.Precision.HIGHEST) + bm5
+        dn2 = lax.conv_dimension_numbers(mid.shape, kf5.shape,
+                                         ("NHWC", "HWIO", "NHWC"))
+        return lax.conv_general_dilated(
+            mid, kf5, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn2,
+            precision=jax.lax.Precision.HIGHEST) + bf5
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("odt",))
+    def got_fin(xv, odt=jnp.float32):
+        return tail_finish_stream(deinterleave4(xv.astype(jnp.bfloat16)),
+                                  km, bm5, kf5, bf5, out_dtype=odt)
+
+    want = ref_fin(xf)
+    err("tail_finish f32-out hi_lo vs f32 two-conv", got_fin(xf), want)
+    err("tail_finish bf16-out hi_lo (for scale)",
+        np.asarray(got_fin(xf, odt=jnp.bfloat16), np.float32), want)
+
     z = jnp.asarray(rng.standard_normal((B, H, W // 2, 12)), jnp.float32)
 
     @jax.jit

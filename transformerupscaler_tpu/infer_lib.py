@@ -38,7 +38,7 @@ class UpscalerEngine:
                  pallas_serve: bool = False, packed_serve: bool = False,
                  int8_serve: bool = False, int8_scope: str = "full",
                  int8_trunk: bool = False, serve_quality: bool = False,
-                 quality_parts: str = "tails,squash"):
+                 quality_parts: str = "tails"):
         self.model_name = model_name
         # int8_serve runs inside the packed fast path; imply its gate.
         compose_tails = compose_tails or int8_serve

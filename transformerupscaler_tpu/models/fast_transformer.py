@@ -115,13 +115,19 @@ class FastTransformer(nn.Module):
     #     (conv.conv2d_packed_dots_deint k_hi_lo);
     #   - both branch tails emit f32 (TUX_F32_TAIL semantics), so the
     #     branch add / squash / clip never round the image through bf16;
-    #   - the squash resize einsums run at Precision.HIGH (3-pass bf16 on
-    #     f32 operands, ~2^-21; the default TPU precision would re-round
-    #     the f32 image to bf16 inside the matmul).
+    #   - (opt-in via quality_parts="squash,...") the squash resize
+    #     einsums run at Precision.HIGH (3-pass bf16 on f32 operands,
+    #     ~2^-21). Measured unnecessary: with f32 tails the default-
+    #     precision squash already gates at +0.0495 dB.
     serve_quality: bool = False
     # Which serve_quality pieces are active ("conv1", "tails", "squash",
     # comma-separated; tools/headline_quality.py --attribute quality_parts
-    # bisects them). Default EXCLUDES conv1: the exact-uint8 k_hi_lo conv1
+    # bisects them). Default is "tails" ALONE — the 12-frame TPU bisect
+    # measured q_tails at +0.0495 dB mean GT delta (fidelity 57.05) with
+    # the squash left at DEFAULT precision, i.e. the HIGH-precision
+    # squash (+0.31 ms) buys nothing measurable once the tails emit f32,
+    # and q_squash alone is bit-identical to the headline. conv1 is
+    # excluded for a sharper reason: the exact-uint8 k_hi_lo conv1
     # measures 2x closer to the f32 path at the FEATURE level (feat1
     # rel-rms 1.66e-3 vs 3.15e-3, real frame + ep-100 kernel, TPU) yet
     # WORSENS the GT delta (+0.182 vs +0.059 mean on the 12-frame held-out
@@ -129,7 +135,7 @@ class FastTransformer(nn.Module):
     # downstream weights co-adapted to those features (the bf16 headline
     # even beats the exact path on 2 of 12 frames). Mechanism kept for
     # checkpoints trained at f32 (reference-imported weights).
-    quality_parts: str = "tails,squash"
+    quality_parts: str = "tails"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -781,12 +787,15 @@ class FastTransformer(nn.Module):
                         self.final_upscale_conv_kernel,
                         self.final_upscale_conv_bias, dt,
                         pre_kernel=pd2["kernel"], pre_bias=pd2["bias"])
-                    # hi_lo_fin only under serve_quality: the mid's one
-                    # bf16 rounding costs +0.011 dB GT — inside the fast
-                    # config's budget, not the quality config's.
+                    # hi_lo_fin ALWAYS: a separately-rounded finish
+                    # kernel is a structured filter perturbation whose
+                    # error correlates with the exact-GT error (measured
+                    # +0.011 dB GT on the fast config and +0.27 on the
+                    # f32-tails quality config, where it dominated) —
+                    # unlike unstructured bf16 noise, it does not average
+                    # out. The hi/lo dots cost ~0.05 ms at x2.
                     b12 = tail_finish_stream(dec_d, km, bm, kf, bf,
-                                             out_dtype=_tail_odt(),
-                                             hi_lo_fin="tails" in qparts)
+                                             out_dtype=_tail_odt())
                 elif fold_pre:
                     b12 = tail_macro8_stream(dec_d, kc, bc,
                                              out_dtype=_tail_odt())

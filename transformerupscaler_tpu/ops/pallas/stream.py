@@ -978,6 +978,11 @@ def pack_finish_macro8(kernel) -> jnp.ndarray:
 
 def _tail_finish_kernel(cur, above, below, wm, bm, wf, bf, out, slab, *,
                         g_img, boff, rows, h_img, hi_lo_fin):
+    # hi_lo_fin: "off" = bf16 mid @ bf16 weights (9 dots);
+    # "wf" = bf16 mid @ exact [hi|lo] weights (9 N-doubled dots — kills
+    # the STRUCTURED finish-weight rounding, keeps the mid's one
+    # unstructured image rounding); "full" = also hi/lo the mid (+9 dots,
+    # nothing rounds at all).
     """Split branch-B tail fused: the 5x5 mid conv's (rows+2) rows stay in
     VMEM as a value and the 3x3 finish applies in-kernel — the mid tensor
     (the XLA-finish split's 0.45 ms + its Pallas->conv-emitter boundary)
@@ -1023,7 +1028,7 @@ def _tail_finish_kernel(cur, above, below, wm, bm, wf, bf, out, slab, *,
     zpad = jnp.zeros((rmid, 1, ncm), jnp.bfloat16)
     mid_hi = mid32.astype(jnp.bfloat16)
     midp = jnp.concatenate([zpad, mid_hi, zpad], axis=1)
-    if hi_lo_fin:
+    if hi_lo_fin == "full":
         # hi/lo BOTH finish operands so the split form loses nothing vs
         # the fold: the f32 mid (its bf16 rounding is one extra image
         # rounding the fold doesn't have) AND the f32 finish weights (the
@@ -1032,20 +1037,22 @@ def _tail_finish_kernel(cur, above, below, wm, bm, wf, bf, out, slab, *,
         # stacked along N; three dot terms (lo*lo dropped, ~2^-17).
         mid_lo = (mid32 - mid_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         midp_lo = jnp.concatenate([zpad, mid_lo, zpad], axis=1)
+    if hi_lo_fin != "off":
         nco = nco // 2
 
     acc2 = jnp.zeros((rows * wb, nco), jnp.float32)
     for dy in range(3):
         for blk in range(3):
             piece = midp[dy:dy + rows, blk:blk + wb, :]
-            if hi_lo_fin:
+            if hi_lo_fin != "off":
                 y2 = jnp.dot(piece.reshape(rows * wb, ncm), wf[dy, blk],
                              preferred_element_type=jnp.float32)
                 acc2 = acc2 + y2[:, :nco] + y2[:, nco:]
-                piece = midp_lo[dy:dy + rows, blk:blk + wb, :]
-                acc2 = acc2 + jnp.dot(piece.reshape(rows * wb, ncm),
-                                      wf[dy, blk, :, :nco],
-                                      preferred_element_type=jnp.float32)
+                if hi_lo_fin == "full":
+                    piece = midp_lo[dy:dy + rows, blk:blk + wb, :]
+                    acc2 = acc2 + jnp.dot(piece.reshape(rows * wb, ncm),
+                                          wf[dy, blk, :, :nco],
+                                          preferred_element_type=jnp.float32)
             else:
                 acc2 = acc2 + jnp.dot(piece.reshape(rows * wb, ncm),
                                       wf[dy, blk],
@@ -1056,7 +1063,7 @@ def _tail_finish_kernel(cur, above, below, wm, bm, wf, bf, out, slab, *,
 
 def tail_finish_stream(xt: jnp.ndarray, k_mid, b_mid, k_fin, b_fin,
                        rows: int | None = None, out_dtype=None,
-                       hi_lo_fin: bool = True,
+                       hi_lo_fin: str = "wf",
                        interpret: bool | None = None) -> jnp.ndarray:
     """Fused split branch-B tail: macro-8 [pre o stage] conv (<=5x5,
     64 -> cm) + in-VMEM 3x3 finish (cm -> co, the commuted RGB tail).
@@ -1090,8 +1097,16 @@ def tail_finish_stream(xt: jnp.ndarray, k_mid, b_mid, k_fin, b_fin,
     odt = out_dtype or dt
     wm, boff = pack_tail_macro8(k_mid)
     wm = wm.astype(dt)
+    env = os.environ.get("TUX_HILO_FIN")
+    if env is not None:
+        hi_lo_fin = env
+    if hi_lo_fin is True:
+        hi_lo_fin = "full"
+    elif hi_lo_fin is False:
+        hi_lo_fin = "off"
+    assert hi_lo_fin in ("off", "wf", "full"), hi_lo_fin
     wf32 = pack_finish_macro8(k_fin)
-    if hi_lo_fin:
+    if hi_lo_fin != "off":
         wf_hi = wf32.astype(jnp.bfloat16)
         wf_lo = (wf32 - wf_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         wf = jnp.concatenate([wf_hi, wf_lo], axis=3)
