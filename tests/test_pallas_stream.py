@@ -510,7 +510,15 @@ def test_tail_finish_stream_matches_sequential(rng, kh, cm, co):
     lo = tail_finish_stream(deinterleave4(xp), km, bm, kf, bf,
                             out_dtype=jnp.float32, hi_lo_fin=False,
                             interpret=True)
+    full = tail_finish_stream(deinterleave4(xp), km, bm, kf, bf,
+                              out_dtype=jnp.float32, hi_lo_fin="full",
+                              interpret=True)
     e_hi = np.abs(np.asarray(got32, np.float32).reshape(want.shape) - want)
     e_lo = np.abs(np.asarray(lo, np.float32).reshape(want.shape) - want)
+    e_full = np.abs(np.asarray(full, np.float32).reshape(want.shape) - want)
     assert float(e_hi.mean()) <= float(e_lo.mean()) * 1.01, (
         e_hi.mean(), e_lo.mean())
+    # "full" (K-concat hi/lo of BOTH finish operands) must beat "wf"
+    # (exact weights, bf16 mid): the mid's rounding is the residual term.
+    assert float(e_full.mean()) <= float(e_hi.mean()) * 1.01, (
+        e_full.mean(), e_hi.mean())
