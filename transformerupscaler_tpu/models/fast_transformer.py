@@ -787,15 +787,19 @@ class FastTransformer(nn.Module):
                         self.final_upscale_conv_kernel,
                         self.final_upscale_conv_bias, dt,
                         pre_kernel=pd2["kernel"], pre_bias=pd2["bias"])
-                    # hi_lo_fin ALWAYS: a separately-rounded finish
-                    # kernel is a structured filter perturbation whose
-                    # error correlates with the exact-GT error (measured
-                    # +0.011 dB GT on the fast config and +0.27 on the
-                    # f32-tails quality config, where it dominated) —
-                    # unlike unstructured bf16 noise, it does not average
-                    # out. The hi/lo dots cost ~0.05 ms at x2.
-                    b12 = tail_finish_stream(dec_d, km, bm, kf, bf,
-                                             out_dtype=_tail_odt())
+                    # hi_lo_fin "wf" ONLY under serve_quality: a
+                    # separately-rounded finish kernel is a structured
+                    # filter perturbation that dominated the f32-tails
+                    # quality config (+0.27 dB GT with off, +0.011 with
+                    # wf) — but on the plain bf16 fast path wf does NOT
+                    # move GT (+0.0693 vs +0.069, 12-frame held-out gate)
+                    # and costs ~0.2 ms in-model (tools/hilo_bench.py
+                    # controlled sweep: off 8.038 ms, wf 8.243, K-concat
+                    # full 8.83 — the op-level ~0.05 ms estimate did not
+                    # survive scheduling). TUX_HILO_FIN still overrides.
+                    b12 = tail_finish_stream(
+                        dec_d, km, bm, kf, bf, out_dtype=_tail_odt(),
+                        hi_lo_fin="wf" if quality else "off")
                 elif fold_pre:
                     b12 = tail_macro8_stream(dec_d, kc, bc,
                                              out_dtype=_tail_odt())
