@@ -92,3 +92,61 @@ def test_ab_test_height_filter_matches_torchvision(rng):
     xp = rng.random((52, 30, 3), dtype=np.float64).astype(np.float32)
     got_p = ab_test._resize_to_height(xp, 21)
     assert got_p.shape[:2] == (36, 21)
+
+
+class TestBandedResize:
+    """Banded-block decomposition (ops/resize._banded_factors): identical
+    weights applied over per-block input windows must match the dense GEMM
+    to fp-reassociation tolerance. Shapes here are large enough to trigger
+    banding (out >= 2*_MB=256 rows and band < 0.7*in)."""
+
+    def test_banded_matches_dense_resize(self, rng, monkeypatch):
+        import jax
+
+        import sys
+
+        rz = sys.modules["transformerupscaler_tpu.ops.resize"]
+        x = jnp.asarray(_rand_img(rng, 360, 320, c=3, b=1))
+        monkeypatch.setenv("TUX_BANDED_RESIZE", "0")
+        dense = np.asarray(rz.resize(x, (540, 480), method="bilinear",
+                                     antialias=True))
+        monkeypatch.setenv("TUX_BANDED_RESIZE", "1")
+        assert rz._banded_factors(360, 540, "bilinear", True, None,
+                                  rz._MB) is not None
+        banded = np.asarray(rz.resize(x, (540, 480), method="bilinear",
+                                      antialias=True))
+        np.testing.assert_allclose(banded, dense, atol=2e-5, rtol=1e-5)
+
+    def test_banded_matches_dense_resize_shuffled(self, rng, monkeypatch):
+        import jax
+
+        import sys
+
+        from transformerupscaler_tpu.ops.resize import resize_shuffled
+
+        rz = sys.modules["transformerupscaler_tpu.ops.resize"]
+
+        z = jnp.asarray(rng.random((1, 180, 160, 12),
+                                   dtype=np.float64).astype(np.float32))
+        hi = jax.lax.Precision.HIGHEST
+        monkeypatch.setenv("TUX_BANDED_RESIZE", "0")
+        dense = np.asarray(resize_shuffled(z, 2, (270, 480), precision=hi))
+        monkeypatch.setenv("TUX_BANDED_RESIZE", "1")
+        assert rz._banded_factors(180, 270, "bilinear", True, None,
+                                  rz._MB, 2) is not None
+        banded = np.asarray(resize_shuffled(z, 2, (270, 480), precision=hi))
+        np.testing.assert_allclose(banded, dense, atol=2e-5, rtol=1e-5)
+
+    def test_auto_gate_uses_precision(self, monkeypatch):
+        import jax
+
+        from transformerupscaler_tpu.ops.resize import _banded_on
+
+        monkeypatch.delenv("TUX_BANDED_RESIZE", raising=False)
+        assert not _banded_on(None, jnp.bfloat16)    # bf16 fast path: dense
+        assert _banded_on(jax.lax.Precision.HIGH)    # quality squash: banded
+        assert _banded_on(None, jnp.float32)         # f32 inputs: banded
+        monkeypatch.setenv("TUX_BANDED_RESIZE", "1")
+        assert _banded_on(None)
+        monkeypatch.setenv("TUX_BANDED_RESIZE", "0")
+        assert not _banded_on(jax.lax.Precision.HIGHEST)

@@ -17,6 +17,7 @@ once on the host and applied as a matmul — separable resize becomes two GEMMs
 that ride the MXU, and XLA fuses the surrounding elementwise work.
 """
 
+import os
 from functools import lru_cache
 
 import jax.numpy as jnp
@@ -108,6 +109,69 @@ def resize_matrix(in_size: int, out_size: int, method: str = "bicubic",
     return build(in_size, out_size, method, a).astype(np.float32)
 
 
+@lru_cache(maxsize=None)
+def _banded_factors(in_size: int, out_size: int, method: str,
+                    antialias: bool, a: float | None, mb: int,
+                    r: int = 1):
+    """Uniform banded-block decomposition of the dense resize matrix.
+
+    The (out, in*r) resampling matrix has ~`support` nonzeros per row (4-6
+    taps), but the dense GEMM contracts the FULL input axis — at the
+    headline squash that is 23.9 + 31.9 GF where the nonzero band carries
+    ~5 GF (measured 0.47 ms of an 8.3 ms frame). This slices the SAME
+    matrix into ceil(out/mb) row blocks, each contracting only its input
+    window: identical weights, identical per-output tap order (the dropped
+    terms are exact zeros, which are identities under ordered f32
+    accumulation), so the result differs from the dense product only by
+    XLA's K-tiling reassociation (~1e-7 relative; the parity tests' 2e-5
+    tolerance and the 144-160 dB reference-parity PSNR both hold).
+
+    Returns (weights (nb, mb, wb, r) f32, starts (nb,) int64) with
+      out[b*mb + o] = sum_{k,i} weights[b,o,k,i] * x[starts[b] + k, i]
+    or None when the band would cover most of the input anyway (tiny
+    images, extreme ratios) — caller falls back to the dense GEMM.
+    """
+    mat = resize_matrix(in_size * r, out_size, method, antialias, a)
+    mat3 = mat.reshape(out_size, in_size, r)
+    nb = -(-out_size // mb)
+    nz_any = np.any(mat3 != 0.0, axis=2)  # (out, in)
+    starts = np.zeros(nb, np.int64)
+    ends = np.zeros(nb, np.int64)
+    for b in range(nb):
+        nzc = np.nonzero(nz_any[b * mb:(b + 1) * mb].any(axis=0))[0]
+        starts[b], ends[b] = ((nzc[0], nzc[-1] + 1) if len(nzc)
+                              else (0, 1))
+    wb = int((ends - starts).max())
+    wb = min(-(-wb // 8) * 8, in_size)  # sublane-friendly
+    if wb >= in_size * 0.7 or out_size < 2 * mb:
+        return None  # dense is as good (and one fewer gather)
+    starts = np.clip(starts, 0, in_size - wb)
+    wts = np.zeros((nb, mb, wb, r), np.float32)
+    for b in range(nb):
+        o0, o1 = b * mb, min((b + 1) * mb, out_size)
+        wts[b, :o1 - o0] = mat3[o0:o1, starts[b]:starts[b] + wb]
+    return wts, starts
+
+
+def _banded_on(precision=None, dtype=None) -> bool:
+    """Tri-state gate for the banded decomposition.
+
+    TUX_BANDED_RESIZE=1 forces banded, =0 forces dense; default "auto"
+    uses banded only on the f32/raised-precision quality squash (where
+    it measured 8.670 -> 8.502 ms in-model with f32 inputs, and 0.94 ->
+    0.41 ms isolated at HIGHEST) and dense on the bf16 default path
+    (where the gather + extra reshape measured a net LOSS in-model,
+    8.228 -> 8.442 ms — XLA fuses the dense bf16 GEMM into neighbors
+    better than the banded gather; tools/banded_bench.py)."""
+    v = os.environ.get("TUX_BANDED_RESIZE", "auto")
+    if v in ("0", "1"):
+        return v == "1"
+    return precision is not None or dtype == jnp.float32
+
+
+_MB = 128  # output rows per band block: one full MXU M tile
+
+
 def resize(x: jnp.ndarray, out_hw: tuple[int, int], method: str = "bicubic",
            antialias: bool = False, a: float | None = None) -> jnp.ndarray:
     """Resize NHWC (or HWC) images to ``out_hw`` via two MXU matmuls."""
@@ -117,12 +181,37 @@ def resize(x: jnp.ndarray, out_hw: tuple[int, int], method: str = "bicubic",
     _, h, w, _ = x.shape
     oh, ow = out_hw
     dtype = x.dtype
-    wh = jnp.asarray(resize_matrix(h, oh, method, antialias, a), dtype=dtype)
-    ww = jnp.asarray(resize_matrix(w, ow, method, antialias, a), dtype=dtype)
+    banded = _banded_on()  # auto -> dense (no precision on this path)
     if oh != h:
-        x = jnp.einsum("oh,bhwc->bowc", wh, x)
+        bf = (_banded_factors(h, oh, method, antialias, a, _MB)
+              if banded else None)
+        if bf is None:
+            wh = jnp.asarray(resize_matrix(h, oh, method, antialias, a),
+                             dtype=dtype)
+            x = jnp.einsum("oh,bhwc->bowc", wh, x)
+        else:
+            wts, starts = bf
+            nb, mb, wb, _ = wts.shape
+            idx = starts[:, None] + np.arange(wb)  # (nb, wb) static
+            xw = x[:, idx]  # (n, nb, wb, w, c)
+            x = jnp.einsum("Bok,nBkwc->nBowc",
+                           jnp.asarray(wts[..., 0], dtype), xw)
+            x = x.reshape(x.shape[0], nb * mb, w, -1)[:, :oh]
     if ow != w:
-        x = jnp.einsum("pw,bhwc->bhpc", ww, x)
+        bf = (_banded_factors(w, ow, method, antialias, a, _MB)
+              if banded else None)
+        if bf is None:
+            ww = jnp.asarray(resize_matrix(w, ow, method, antialias, a),
+                             dtype=dtype)
+            x = jnp.einsum("pw,bhwc->bhpc", ww, x)
+        else:
+            wts, starts = bf
+            nb, mb, wb, _ = wts.shape
+            idx = starts[:, None] + np.arange(wb)
+            xw = x[:, :, idx]  # (n, oh, nb, wb, c)
+            x = jnp.einsum("Bpk,nhBkc->nhBpc",
+                           jnp.asarray(wts[..., 0], dtype), xw)
+            x = x.reshape(x.shape[0], x.shape[1], nb * mb, -1)[:, :, :ow]
     out = x.astype(dtype)
     return out[0] if squeeze else out
 
@@ -153,13 +242,36 @@ def resize_shuffled(z: jnp.ndarray, r: int, out_hw: tuple[int, int],
     # their operands to bf16 at the default precision — the LAST op touching
     # the output image would re-round it even when the tails emit f32
     # (serve_quality mode passes HIGHEST to keep the image f32 end-to-end).
-    mh = resize_matrix(h * r, oh, method, antialias, a).reshape(oh, h, r)
-    mw = resize_matrix(w * r, ow, method, antialias, a).reshape(ow, w, r)
     z6 = z.reshape(b, h, w, c, r, r)
-    t = jnp.einsum("ohi,nhwcij->nowcj", jnp.asarray(mh, dtype), z6,
-                   precision=precision)
-    out = jnp.einsum("pwj,nowcj->nopc", jnp.asarray(mw, dtype), t,
-                     precision=precision)
+    banded = _banded_on(precision, dtype)
+    bf = (_banded_factors(h, oh, method, antialias, a, _MB, r)
+          if banded else None)
+    if bf is None:
+        mh = resize_matrix(h * r, oh, method, antialias, a).reshape(oh, h, r)
+        t = jnp.einsum("ohi,nhwcij->nowcj", jnp.asarray(mh, dtype), z6,
+                       precision=precision)
+    else:
+        wts, starts = bf  # (nb, mb, wb, r), (nb,)
+        nb, mb, wb, _ = wts.shape
+        idx = starts[:, None] + np.arange(wb)  # (nb, wb) static
+        zw = z6[:, idx]  # (n, nb, wb, w, c, r, r)
+        t = jnp.einsum("Boki,nBkwcij->nBowcj", jnp.asarray(wts, dtype), zw,
+                       precision=precision)
+        t = t.reshape(b, nb * mb, w, c, r)[:, :oh]
+    bf = (_banded_factors(w, ow, method, antialias, a, _MB, r)
+          if banded else None)
+    if bf is None:
+        mw = resize_matrix(w * r, ow, method, antialias, a).reshape(ow, w, r)
+        out = jnp.einsum("pwj,nowcj->nopc", jnp.asarray(mw, dtype), t,
+                         precision=precision)
+    else:
+        wts, starts = bf
+        nb, mb, wb, _ = wts.shape
+        idx = starts[:, None] + np.arange(wb)
+        tw = t[:, :, idx]  # (n, oh, nb, wb, c, j)
+        out = jnp.einsum("Bpkj,noBkcj->noBpc", jnp.asarray(wts, dtype), tw,
+                         precision=precision)
+        out = out.reshape(b, oh, nb * mb, c)[:, :, :ow]
     return out.astype(dtype)
 
 
