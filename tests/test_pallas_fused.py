@@ -115,6 +115,31 @@ def test_fused_trunk_v2_grouped_matches_xla_blocks(rng):
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_fused_trunk_v2_truedot_matches_xla_blocks(rng, monkeypatch):
+    """True per-head score dots (TUX_TRUNK_TRUEDOT=1): cross-window terms
+    are computed but killed by -1e9 in the precomputed bias, so outputs
+    must match the XLA block loop at the unpaired kernel's tolerance."""
+    from transformerupscaler_tpu.models.common import WindowBlock
+    from transformerupscaler_tpu.ops.pallas.trunk2 import fused_window_trunk_v2
+
+    key = jax.random.PRNGKey(23)
+    win = jax.random.uniform(key, (10, 64, 192), jnp.float32)
+    blocks = [WindowBlock(192, 8, 12, dropout=0.0, dtype=jnp.float32)
+              for _ in range(2)]
+    params, outs = [], win
+    for i, blk in enumerate(blocks):
+        p = blk.init(jax.random.PRNGKey(i), outs)
+        outs = blk.apply(p, outs)
+        params.append(p["params"])
+
+    monkeypatch.setenv("TUX_TRUNK_TRUEDOT", "1")
+    for wpc in (4, 5):  # pad coverage + odd-wpc bump
+        got = fused_window_trunk_v2(win, params, num_heads=12, window_size=8,
+                                    windows_per_cell=wpc, pair=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(outs),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_fused_trunk_v2_int8_gemms_close_to_f32(rng):
     """int8 GEMMs inside the paired kernel: with safely-wide act scales the
     output stays within quantization noise of the XLA block loop — a

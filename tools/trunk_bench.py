@@ -123,7 +123,8 @@ def main():
         qkv0 = jax.random.uniform(key, (240, ws * ws, 3 * d), dt)
         probe("attention core (split+scores+softmax+out)", core, pp, qkv0,
               K, log=print)
-    if which & {"v1", "v2", "v2sweep", "pair", "pairint8", "grouped"}:
+    if which & {"v1", "v2", "v2sweep", "pair", "pairint8", "grouped",
+                "truedot"}:
         from transformerupscaler_tpu.ops.pallas.trunk import (
             fused_window_trunk,
         )
@@ -189,6 +190,22 @@ def main():
                           w, params6, heads, ws, windows_per_cell=wp,
                           group=g),
                       None, win240, K, log=print)
+        if "truedot" in which:
+            # true per-head dots vs paired, same process (verdict r3 #2b:
+            # the 12x head-mask score inflation, ~27 of 109 GF).
+            probe("fused trunk v2 PAIRED   wpc=8 (ref)",
+                  lambda p, w: fused_window_trunk_v2(
+                      w, params6, heads, ws, windows_per_cell=8,
+                      pair=True),
+                  None, win240, K, log=print)
+            os.environ["TUX_TRUNK_TRUEDOT"] = "1"
+            for wp in (4, 8, 16):
+                probe(f"fused trunk v2 TRUEDOT wpc={wp}",
+                      lambda p, w, wp=wp: fused_window_trunk_v2(
+                          w, params6, heads, ws, windows_per_cell=wp,
+                          pair=True),
+                      None, win240, K, log=print)
+            del os.environ["TUX_TRUNK_TRUEDOT"]
         if "v2sweep" in which:
             for wp in (4, 6, 10, 12, 16, 24):
                 probe(f"fused trunk v2 wpc={wp}",

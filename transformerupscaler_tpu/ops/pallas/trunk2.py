@@ -429,6 +429,80 @@ def _trunk2_group_kernel(x_ref, bdg_ref, ln1s, ln1b, qkvw, qkvb, projw,
     out_ref[:] = x.reshape(wpc, n, c)
 
 
+def _trunk2_pair_truedot_kernel(x_ref, ln1s, ln1b, qkvw, qkvb, projw, projb,
+                                ln2s, ln2b, fc1w, fc1b, fc2w, fc2b,
+                                biasTD_ref, out_ref, *, layers, heads, n,
+                                wpc):
+    """TRUE per-head score dots — the fourth score layout (verdict r3 #2b).
+
+    Kills the heads-fold MAC inflation entirely: per window pair and head,
+    the score is ONE (2n, hd) x (hd, 2n) dot — M = N = 2n = 128 rows/lanes
+    (full MXU tiles), K = hd = 16. Cross-window terms ARE computed (2x the
+    true per-window MACs — still 6x less than the paired mask layout) and
+    die via -1e9 folded into the precomputed bias (biasTD), so a plain
+    full-row softmax IS the per-window softmax. The context is the mirror
+    (2n, 2n) x (2n, hd) dot; per-head outputs lane-concat back to (2n, c).
+
+    Unlike the grouped kernel (measured 1.7x SLOWER: its per-group K/V
+    block-diagonal rebuilds are broadcast+mask VPU work), q/k/v here are
+    plain static lane SLICES and there is no mask multiply anywhere —
+    the VPU cost is the 16-lane slice/concat relayouts and a 2x-wider
+    softmax ((2n, 2n) per head vs the paired kernel's (n, 2n) rows).
+
+    MACs per pair-layer at c=192, heads=12, n=64: scores 12 x 128x16x128 =
+    3.1M + ctx 3.1M = 6.3M, vs paired 37.7M + 37.7M.
+
+    biasTD_ref: (L, heads, 2n, 2n) f32 rel bias, -1e9 on cross-window
+    entries.
+    """
+    c = x_ref.shape[-1]
+    hd = c // heads
+    t = wpc * n
+    dt = x_ref.dtype
+    scale = jnp.asarray(hd ** -0.5, dt)
+
+    x = x_ref[:].reshape(t, c)
+    for l in range(layers):
+        y = _layernorm(x, ln1s[l], ln1b[l]).astype(dt)
+        qkv = (jnp.dot(y, qkvw[l], preferred_element_type=jnp.float32)
+               .astype(dt) + qkvb[l]).reshape(wpc, n, 3 * c)
+        biasTD_l = biasTD_ref[l]  # (heads, 2n, 2n) f32
+        attns = []
+        for w in range(0, wpc, 2):  # static unroll over window pairs
+            qr = jnp.concatenate([qkv[w, :, 0:c],
+                                  qkv[w + 1, :, 0:c]], axis=0) * scale
+            kr = jnp.concatenate([qkv[w, :, c:2 * c],
+                                  qkv[w + 1, :, c:2 * c]], axis=0)
+            vr = jnp.concatenate([qkv[w, :, 2 * c:3 * c],
+                                  qkv[w + 1, :, 2 * c:3 * c]], axis=0)
+            ctxs = []
+            for h in range(heads):  # static: all slices lane-static
+                s = jax.lax.dot_general(
+                    qr[:, h * hd:(h + 1) * hd], kr[:, h * hd:(h + 1) * hd],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (2n, 2n)
+                s = s + biasTD_l[h]
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                pp = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(dt)
+                ctxs.append(jnp.dot(pp, vr[:, h * hd:(h + 1) * hd],
+                                    preferred_element_type=jnp.float32)
+                            .astype(dt))  # (2n, hd)
+            attns.append(jnp.concatenate(ctxs, axis=1))  # (2n, c)
+        a2 = jnp.stack(attns)  # (wpc/2, 2n, c)
+        attn = a2.reshape(t, c)
+        x = x + (jnp.dot(attn, projw[l], preferred_element_type=jnp.float32)
+                 .astype(dt) + projb[l])
+        y2 = _layernorm(x, ln2s[l], ln2b[l]).astype(dt)
+        h1 = (jnp.dot(y2, fc1w[l], preferred_element_type=jnp.float32)
+              .astype(dt) + fc1b[l])
+        h1 = _gelu_exact(h1)
+        x = x + (jnp.dot(h1, fc2w[l], preferred_element_type=jnp.float32)
+                 .astype(dt) + fc2b[l])
+
+    out_ref[:] = x.reshape(wpc, n, c)
+
+
 def quantize_gemm_weights(wstack: jnp.ndarray, s_in: jnp.ndarray):
     """Per-out-channel int8 quantization of stacked (L, k, n) GEMM weights
     with per-in-channel activation scales folded in (exact fold: the act
@@ -588,6 +662,31 @@ def fused_window_trunk_v2(win: jnp.ndarray, block_params: list[dict],
         bd[n:, c:] = 1.0
         bdiag = jnp.asarray(bd, dt)
         bias2 = jnp.concatenate([bias, bias], axis=2)   # (L, heads*n, 2n)
+        if (int8_acts is None
+                and os.environ.get("TUX_TRUNK_TRUEDOT", "0") == "1"):
+            # True per-head dots (see _trunk2_pair_truedot_kernel).
+            bh = bias.reshape(layers, num_heads, n, n)
+            neg = jnp.full_like(bh, -1e9)
+            top = jnp.concatenate([bh, neg], axis=3)      # (L, H, n, 2n)
+            bot = jnp.concatenate([neg, bh], axis=3)
+            biasTD = jnp.concatenate([top, bot], axis=2)  # (L, H, 2n, 2n)
+            out = pl.pallas_call(
+                partial(_trunk2_pair_truedot_kernel, layers=layers,
+                        heads=num_heads, n=n, wpc=wpc),
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((wpc, n, c), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    *weight_ins, spec3(biasTD),
+                ],
+                out_specs=pl.BlockSpec((wpc, n, c), lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((nw + pad, n, c), dt),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=interpret,
+            )(win, *weights, biasTD)
+            return out[:nw] if pad else out
         if (int8_acts is None
                 and os.environ.get("TUX_TRUNK_CHUNK", "0") == "1"):
             # Chunked-per-pair layer bodies (see the kernel docstring):
