@@ -229,7 +229,15 @@ def conv2d_packed_dots_deint(xp: jnp.ndarray, kernel: jnp.ndarray,
         xd32 = xd.astype(jnp.float32)
         xd_hi = xd32.astype(jnp.bfloat16)
         xd_lo = (xd32 - xd_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    outs = []
+    # Build the im2col for ALL four output planes, stacked along a j axis,
+    # and contract with ONE GEMM emitting (B, H, 4, G, 2Cout) directly.
+    # The first version ran 4 separate per-j (M/4, K) GEMMs and stacked
+    # their OUTPUTS — measured 0.745 ms vs 0.446 for the default-layout
+    # single-GEMM dots at 720p (tools/conv1_bench.py): the per-j strided
+    # gathers + 4x GEMM dispatch were the whole deint premium. Stacking
+    # the ims BEFORE the GEMM keeps one fused gather-write and one
+    # full-M GEMM; per-output reduction order is unchanged (exact).
+    ims = []
     for j in range(4):
         cols = []
         for dy in range(khp):
@@ -245,35 +253,35 @@ def conv2d_packed_dots_deint(xp: jnp.ndarray, kernel: jnp.ndarray,
             im_lo = jnp.concatenate(
                 [xd_lo[:, dy:dy + h, js, gs:gs + g, :]
                  for dy, js, gs in cols], axis=-1)
-            im = jnp.concatenate([im_hi, im_lo, im_hi], axis=-1)
+            ims.append(jnp.concatenate([im_hi, im_lo, im_hi], axis=-1))
         else:
-            im = jnp.concatenate(
+            ims.append(jnp.concatenate(
                 [xd[:, dy:dy + h, js, gs:gs + g, :]
-                 for dy, js, gs in cols], axis=-1)
-        y = jnp.einsum("bhgk,ko->bhgo", im, km,
-                       preferred_element_type=jnp.float32)
-        if k_hi_lo:
-            # Kernel-only split: one bf16 im contracts against
-            # [k_hi | k_lo] stacked along N; the halves add in f32.
-            # bf16*bf16 products are EXACT in the f32 accumulator
-            # (8+8 significand bits < 24), so with an exact-integer im
-            # the only error left is the kernel's dropped lo-of-lo
-            # (~2^-17 relative).
-            y = y[..., :c2o] + y[..., c2o:]
-        if f32acc:
-            if bias is not None:
-                y = y + jnp.tile(bias.astype(jnp.float32), 2)
-            if relu:
-                y = jax.nn.relu(y)
-            outs.append(y.astype(dt))
-        else:
-            outs.append(y.astype(dt))
-    out = jnp.stack(outs, axis=2)  # (B, H, 4, G, 2Cout)
-    if not f32acc:
+                 for dy, js, gs in cols], axis=-1))
+    im = jnp.stack(ims, axis=2)  # (B, H, 4, G, K)
+    y = jnp.einsum("bhjgk,ko->bhjgo", im, km,
+                   preferred_element_type=jnp.float32)
+    if k_hi_lo:
+        # Kernel-only split: one bf16 im contracts against
+        # [k_hi | k_lo] stacked along N; the halves add in f32.
+        # bf16*bf16 products are EXACT in the f32 accumulator
+        # (8+8 significand bits < 24), so with an exact-integer im
+        # the only error left is the kernel's dropped lo-of-lo
+        # (~2^-17 relative).
+        y = y[..., :c2o] + y[..., c2o:]
+    if f32acc:
         if bias is not None:
-            out = out + jnp.tile(bias.astype(dt), 2)
+            y = y + jnp.tile(bias.astype(jnp.float32), 2)
         if relu:
-            out = jax.nn.relu(out)
+            y = jax.nn.relu(y)
+        return y.astype(dt)
+    # Bit-exact ordering of the per-j original: round the accumulator to
+    # dt FIRST, then add the dt bias and relu in dt arithmetic.
+    out = y.astype(dt)
+    if bias is not None:
+        out = out + jnp.tile(bias.astype(dt), 2)
+    if relu:
+        out = jax.nn.relu(out)
     return out
 
 
