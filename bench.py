@@ -54,16 +54,18 @@ def main():
     log(f"bench device: {dev}")
 
     res_out = (1080, 1920)
-    config = os.environ.get("TUX_BENCH_CONFIG", "bf16")
+    config = os.environ.get("TUX_BENCH_CONFIG", "quality")
     key = jax.random.PRNGKey(0)
-    # "quality" = serve_quality mode (quality_parts default "tails"):
-    # the branch tails emit f32 so the add/squash/clip never round the
-    # image through bf16 — the joint-north-star config (>=120 fps at
-    # <=0.05 dB, BASELINE.md; measured +0.0495 dB mean on the 12-frame
-    # held-out gate). HIGH/HIGHEST squash and the exact-uint8 conv1 are
-    # opt-in parts; both measured unnecessary or harmful on the
-    # bf16-trained ep-100 checkpoint (models/fast_transformer.py
-    # quality_parts docstring).
+    # Default "quality" = serve_quality mode (quality_parts default
+    # "tails"): the branch tails emit f32 so the add/squash/clip never
+    # round the image through bf16 — the joint-north-star config
+    # (>=120 fps at <=0.05 dB, BASELINE.md; GT delta measured on the
+    # FULL 34-frame held-out gate, PERFORMANCE.md round-5 section).
+    # TUX_BENCH_CONFIG=bf16 opts back into the pure-bf16 fast config
+    # (~1 fps faster, quality bar not met). HIGH/HIGHEST squash and the
+    # exact-uint8 conv1 are opt-in parts; both measured unnecessary or
+    # harmful on the bf16-trained ep-100 checkpoint
+    # (models/fast_transformer.py quality_parts docstring).
     x_dt = jnp.float32 if config == "quality" else jnp.bfloat16
     x = jax.random.uniform(key, (1, 720, 1280, 3), x_dt)
 

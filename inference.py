@@ -64,6 +64,12 @@ def main(args):
     # inference (reference inference.py:117-122); --int8_mlp routes the MLP
     # GEMMs through the true int8 MXU path (ops/quant.int8_dense).
     dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[args.dtype]
+    if args.quality and dtype == jnp.float32:
+        # serve_quality is a mode of the bf16 fast path (f32 image
+        # boundaries at bf16 compute speed); at f32 it would be a no-op
+        # superset of the exact path.
+        print("--quality implies the bf16 serving path; using bf16 compute")
+        dtype = jnp.bfloat16
     # --fast rides the Pallas stream kernels on TPU (the measured-best
     # serving path, PERFORMANCE.md); on other backends they would run in
     # interpret mode, so stay on the all-XLA packed path there. The
@@ -72,7 +78,9 @@ def main(args):
     import jax
 
     on_tpu = jax.default_backend() == "tpu"
-    pallas = (args.fast and on_tpu) or args.int8_serve == "tails"
+    # --quality implies the fast serving path (it is a mode OF that path).
+    fast = args.fast or args.quality
+    pallas = (fast and on_tpu) or args.int8_serve == "tails"
     engine = UpscalerEngine(args.model, checkpoint_dir=args.checkpoint_dir,
                             quantize=args.quantize, dtype=dtype,
                             int8_mlp=args.int8_mlp,
@@ -81,10 +89,11 @@ def main(args):
                                         if args.int8_serve != "off"
                                         else "full"),
                             compose_tails=args.int8_serve != "off"
-                                          or args.fast,
-                            packed_serve=args.fast,
+                                          or fast,
+                            packed_serve=fast,
                             pallas_serve=pallas,
                             int8_trunk=args.int8_trunk,
+                            serve_quality=args.quality,
                             attn_impl="fused2" if ((pallas and on_tpu)
                                                    or args.int8_trunk)
                                       else "xla")
@@ -161,6 +170,13 @@ if __name__ == "__main__":
                              "scale in {2,3,4,6}, input h %% 8 == 0 and "
                              "w %% 16 == 0; other geometries fall back "
                              "with a warning")
+    parser.add_argument("--quality", action="store_true",
+                        help="serve_quality mode: the --fast bf16 serving "
+                             "path with f32 image boundaries (the tails "
+                             "emit f32 so the output never rounds through "
+                             "bf16) — the joint north-star config, "
+                             ">=120 fps at <=0.05 dB GT delta "
+                             "(PERFORMANCE.md). Implies --fast")
     parser.add_argument("--int8_serve",
                         choices=["off", "residual", "full", "tails"],
                         default="off",

@@ -30,12 +30,15 @@ def main(args):
     # --fast adds the Pallas stream kernels on TPU (PERFORMANCE.md headline
     # config); "tails" int8 scope requires them on any backend.
     on_tpu = jax.default_backend() == "tpu"
-    pallas = (args.fast and on_tpu) or args.int8 == "tails"
+    # --quality implies the fast serving path (it is a mode OF that path).
+    fast = args.fast or args.quality
+    pallas = (fast and on_tpu) or args.int8 == "tails"
     engine = UpscalerEngine(args.model, checkpoint_dir=args.checkpoint_dir,
-                            dtype=jnp.bfloat16 if args.fast else jnp.float32,
-                            compose_tails=args.fast,
-                            packed_serve=args.fast,
+                            dtype=jnp.bfloat16 if fast else jnp.float32,
+                            compose_tails=fast,
+                            packed_serve=fast,
                             pallas_serve=pallas,
+                            serve_quality=args.quality,
                             attn_impl="fused2" if ((pallas and on_tpu)
                                                     or args.int8_trunk)
                                       else "xla",
@@ -160,6 +163,11 @@ if __name__ == "__main__":
                              "geometries outside the packed gate (scale in "
                              "{2,3,4,6}, h %% 8 == 0, w %% 16 == 0) fall "
                              "back with a warning")
+    parser.add_argument("--quality", action="store_true",
+                        help="serve_quality mode: the --fast bf16 path with "
+                             "f32 image boundaries (joint north-star config, "
+                             ">=120 fps at <=0.05 dB GT delta). Implies "
+                             "--fast")
     parser.add_argument("--int8",
                         choices=["off", "residual", "full", "tails"],
                         default="off",

@@ -189,10 +189,10 @@ def test_fast_transformer_serve_quality_mode():
                                                    mse(y_h, y_e))
 
 
-def test_fast_transformer_split_tail_matches(monkeypatch):
-    """TUX_SPLIT_TAIL=1 (split branch-B tail) matches the default packed
-    pallas path on the interior — the ring may differ (two zero-pads
-    instead of one, same deviation class as compose_tails)."""
+def test_fast_transformer_split_tail_matches():
+    """split_tail=True (split branch-B tail) matches the composed fold
+    (split_tail=False) on the interior — the ring may differ (two
+    zero-pads instead of one, same deviation class as compose_tails)."""
     import jax
     import jax.numpy as jnp
 
@@ -201,16 +201,51 @@ def test_fast_transformer_split_tail_matches(monkeypatch):
     key = jax.random.PRNGKey(5)
     x = jax.random.uniform(key, (1, 24, 32, 3), jnp.bfloat16)
     kw = dict(dtype=jnp.bfloat16, compose_tails=True, pallas_serve=True)
-    model = get_model("FastTransformer", **kw)
-    params = model.init(key, x, upscale_factor=2)
+    composed = get_model("FastTransformer", split_tail=False, **kw)
+    split_m = get_model("FastTransformer", split_tail=True, **kw)
+    params = composed.init(key, x, upscale_factor=2)
     for scale in (2, 4):
         base = np.asarray(
-            model.apply(params, x, upscale_factor=scale), np.float32)
-        monkeypatch.setenv("TUX_SPLIT_TAIL", "1")
+            composed.apply(params, x, upscale_factor=scale), np.float32)
         split = np.asarray(
-            model.apply(params, x, upscale_factor=scale), np.float32)
-        monkeypatch.delenv("TUX_SPLIT_TAIL")
+            split_m.apply(params, x, upscale_factor=scale), np.float32)
         c = 4 * scale
         np.testing.assert_allclose(
             split[:, c:-c, c:-c], base[:, c:-c, c:-c], atol=0.02, rtol=0.02,
             err_msg=f"scale {scale}")
+
+
+def test_fast_transformer_split_tail_env_overrides_config(monkeypatch):
+    """The TUX_SPLIT_TAIL debug env var still overrides the config field
+    (both directions), and the auto default (None) splits on the fast
+    path at x2 — asserted via bit-identity with the explicit forms."""
+    import jax
+    import jax.numpy as jnp
+
+    from transformerupscaler_tpu.registry import get_model
+
+    key = jax.random.PRNGKey(6)
+    x = jax.random.uniform(key, (1, 16, 32, 3), jnp.bfloat16)
+    kw = dict(dtype=jnp.bfloat16, compose_tails=True, pallas_serve=True)
+    params = get_model("FastTransformer", **kw).init(key, x,
+                                                     upscale_factor=2)
+
+    def run(model):
+        return np.asarray(model.apply(params, x, upscale_factor=2),
+                          np.float32)
+
+    y_split = run(get_model("FastTransformer", split_tail=True, **kw))
+    y_fold = run(get_model("FastTransformer", split_tail=False, **kw))
+    assert not np.array_equal(y_split, y_fold)  # ring differs by design
+
+    # auto (None) on the fast path at x2 = split (measured default).
+    np.testing.assert_array_equal(run(get_model("FastTransformer", **kw)),
+                                  y_split)
+    # env=0 overrides an explicit split_tail=True ...
+    monkeypatch.setenv("TUX_SPLIT_TAIL", "0")
+    np.testing.assert_array_equal(
+        run(get_model("FastTransformer", split_tail=True, **kw)), y_fold)
+    # ... and env=1 overrides an explicit split_tail=False.
+    monkeypatch.setenv("TUX_SPLIT_TAIL", "1")
+    np.testing.assert_array_equal(
+        run(get_model("FastTransformer", split_tail=False, **kw)), y_split)

@@ -41,12 +41,20 @@ def main():
                     params, x, K, log=print)
         print(f"    -> {1.0 / per:8.2f} fps", flush=True)
 
-    os.environ.pop("TUX_SPLIT_TAIL", None)
-    run("composed fold (control)")
-    os.environ["TUX_SPLIT_TAIL"] = "1"
-    for mode in ("off", "wf", "full"):
-        os.environ["TUX_HILO_FIN"] = mode
-        run(f"split + hi_lo_fin={mode}")
+    # Force the composed fold explicitly: the split tail is now the
+    # measured AUTO default on the fast path (fast_transformer.split_tail).
+    os.environ["TUX_SPLIT_TAIL"] = "0"
+    try:
+        run("composed fold (control)")
+        os.environ["TUX_SPLIT_TAIL"] = "1"
+        for mode in ("off", "wf", "full"):
+            os.environ["TUX_HILO_FIN"] = mode
+            run(f"split + hi_lo_fin={mode}")
+    finally:
+        # A leftover TUX_HILO_FIN/TUX_SPLIT_TAIL would silently override
+        # explicit config in any later run sharing this environment.
+        os.environ.pop("TUX_HILO_FIN", None)
+        os.environ.pop("TUX_SPLIT_TAIL", None)
 
 
 if __name__ == "__main__":

@@ -38,15 +38,23 @@ class UpscalerEngine:
                  pallas_serve: bool = False, packed_serve: bool = False,
                  int8_serve: bool = False, int8_scope: str = "full",
                  int8_trunk: bool = False, serve_quality: bool = False,
-                 quality_parts: str = "tails"):
+                 quality_parts: str = "tails", split_tail: bool | None = None,
+                 f32_tail: bool = False, fold_pre: bool = True,
+                 hi_lo_fin: str | None = None):
         self.model_name = model_name
         # int8_serve runs inside the packed fast path; imply its gate.
         compose_tails = compose_tails or int8_serve
+        # split_tail/f32_tail/fold_pre/hi_lo_fin are FastTransformer
+        # serving-routing fields (get_model drops unknown fields for the
+        # other variants). None/default = the model's measured auto
+        # routing; the TUX_* env vars remain trace-time debug overrides.
         self._model_kwargs = dict(
             dtype=dtype, attn_impl=attn_impl, compose_tails=compose_tails,
             int8_mlp=int8_mlp, pallas_serve=pallas_serve,
             packed_serve=packed_serve, int8_serve=int8_serve,
-            int8_scope=int8_scope, int8_trunk=int8_trunk)
+            int8_scope=int8_scope, int8_trunk=int8_trunk,
+            split_tail=split_tail, f32_tail=f32_tail, fold_pre=fold_pre,
+            hi_lo_fin=hi_lo_fin)
         # serve_quality is a FastTransformer-only field; other models don't
         # define it (and it implies keeping the INPUT f32 — see upscale).
         self._serve_quality = serve_quality and model_name == "FastTransformer"

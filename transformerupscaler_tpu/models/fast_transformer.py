@@ -136,6 +136,44 @@ class FastTransformer(nn.Module):
     # even beats the exact path on 2 of 12 frames). Mechanism kept for
     # checkpoints trained at f32 (reference-imported weights).
     quality_parts: str = "tails"
+    # Split branch-B tail (pallas_serve deint path, fold_pre only): run
+    # [dec2 o first-stage] as a 5x5 64->3r_mid^2 conv with the commuted RGB
+    # tail applied IN-KERNEL on the VMEM mid (ops/pallas/stream.
+    # tail_finish_stream) instead of the single folded 7x7 conv whose MACs
+    # the rank-3 RGB bottleneck inflates (x4: 150k vs 24k MACs/px).
+    # None = measured auto default (tools/hilo_bench.py controlled sweep +
+    # the split-tail in-model table, PERFORMANCE.md round-4):
+    #   - fast path: ON at x2/x3/x4 (x2 8.04 vs 8.22 ms, x3 10.39 vs
+    #     10.59, x4 10.34 vs 12.39; hi_lo_fin "off", +0.011 dB GT from the
+    #     mid's single bf16 rounding);
+    #   - serve_quality: ON only at x4 (the wf finish-weight fix the f32
+    #     quality path needs costs ~0.2 ms, erasing the x2 win and tying
+    #     x3; at x4 the 2.05 ms win dwarfs it) — the joint-north-star x2
+    #     config is quality COMPOSED (PERFORMANCE.md hi_lo_fin sweep).
+    # x6 never reaches this routing: its composed tails have co=108 >= 64
+    # channels, which already fill the MXU lanes as direct convs
+    # (direct_tails below; packed x6 measured 33.3 ms vs direct 30.9).
+    # Env TUX_SPLIT_TAIL=0/1 is a trace-time debug override.
+    split_tail: bool | None = None
+    # Branch tails emit f32 (compute stays bf16 GEMMs + f32 accumulation):
+    # the branch add / squash / clip never round the image through bf16.
+    # +2.3 dB serving fidelity for ~0.1 ms (PERFORMANCE.md f32-tail
+    # experiment); implied by serve_quality's default quality_parts.
+    # Env TUX_F32_TAIL=1 is the debug override.
+    f32_tail: bool = False
+    # Fold decoder_conv2 into the branch-B tail composition (one composed
+    # conv instead of a 3-lane conv + a tail conv). In-model A/B measured
+    # the fold winning or tying at every scale (tools/fold_ab_bench.py);
+    # False keeps the factored sequential routing runnable. int8 scopes
+    # force the fold. Env TUX_FOLD_PRE=0/1 is a trace-time debug override.
+    fold_pre: bool = True
+    # Split-tail finish-dot rounding mode (ops/pallas/stream.
+    # tail_finish_stream): None = auto ("wf" under serve_quality — f32
+    # finish weights as in-kernel hi/lo dots, the fix for the structured
+    # filter perturbation that cost +0.27 dB on the f32-tails config;
+    # "off" on the fast path where wf measured no GT movement for ~0.2 ms).
+    # "full" additionally hi/lo's the mid (K-concat, ~+0.6 ms).
+    hi_lo_fin: str | None = None
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -417,14 +455,13 @@ class FastTransformer(nn.Module):
         qparts = (set(self.quality_parts.split(",")) if quality else set())
 
         def _tail_odt():
-            # TUX_F32_TAIL=1: the two branch tails emit f32 (compute stays
-            # bf16 GEMMs + f32 accumulation), so the branch add, the squash
-            # resize, and the clip all run at f32 — the output image never
-            # round-trips bf16. Quality experiment for the headline's
-            # +0.07 dB Pallas-boundary residue (PERFORMANCE.md); implied by
-            # serve_quality.
+            # f32_tail (field; env TUX_F32_TAIL=1 debug override): the two
+            # branch tails emit f32 (compute stays bf16 GEMMs + f32
+            # accumulation), so the branch add, the squash resize, and the
+            # clip all run at f32 — the output image never round-trips
+            # bf16. Implied by serve_quality's default quality_parts.
             return (jnp.float32
-                    if "tails" in qparts
+                    if self.f32_tail or "tails" in qparts
                     or _os.environ.get("TUX_F32_TAIL", "0") == "1" else None)
         pallas_patch = use_pallas and self.patch_size == 8
         pallas_tails = use_pallas and not direct_tails
@@ -678,8 +715,10 @@ class FastTransformer(nn.Module):
         # TUX_FOLD_PRE=0 keeps the factored routing runnable.
         pd1 = self.decoder_conv1.variables["params"]
         pd2 = self.decoder_conv2.variables["params"]
+        _fp_env = _os.environ.get("TUX_FOLD_PRE")
         fold_pre = (i8t or i8b or i8dt
-                    or _os.environ.get("TUX_FOLD_PRE", "1") != "0")
+                    or (self.fold_pre if _fp_env is None
+                        else _fp_env != "0"))
         if fold_pre:
             kc, bc = composed_tail_kernel(
                 self.final_upscale._params, scale,
@@ -759,8 +798,24 @@ class FastTransformer(nn.Module):
                 dec_d = conv3x3_deint_stream(combined_d,
                                              pd1["kernel"].astype(dt),
                                              pd1["bias"], relu=True)
-                split_tail = (_os.environ.get("TUX_SPLIT_TAIL", "0") == "1"
-                              and fold_pre and scale in (2, 3, 4))
+                _st_env = _os.environ.get("TUX_SPLIT_TAIL")
+                if _st_env is not None:
+                    want_split = _st_env == "1"
+                elif self.split_tail is not None:
+                    want_split = self.split_tail
+                else:
+                    # Measured auto default — see the split_tail field
+                    # docstring: fast path ON at x2/x3/x4; serve_quality
+                    # ON only at x4 (quality composed is the x2 joint
+                    # north star; at x3 the split win ~= the wf cost).
+                    # bf16 serving only: tail_finish_stream computes the
+                    # mid/finish in bf16, so auto-splitting an f32 engine
+                    # (the exact/parity configs) would silently degrade
+                    # its precision.
+                    want_split = (dt == jnp.bfloat16
+                                  and (scale == 4 or not quality))
+                split_tail = (want_split and fold_pre
+                              and scale in (2, 3, 4))
                 if split_tail:
                     # Split-B tail: the fold through the rank-3 RGB
                     # bottleneck nearly doubles the B tail's MACs at x2
@@ -771,10 +826,13 @@ class FastTransformer(nn.Module):
                     # block-8 finish alone costs 0.45 ms and erases the
                     # win). Interior-exact vs the fold; the border ring
                     # follows the sequential two-conv zero-pad (same
-                    # deviation class). The kernel's hi_lo_fin default
-                    # keeps the f32 mid exact through the finish dots, so
-                    # split serving rounds the image NO more than the
-                    # composed fold does.
+                    # deviation class). Rounding: with hi_lo_fin "off"
+                    # (the fast-path default) the f32 mid rounds ONCE to
+                    # bf16 before the finish dots (+0.011 dB GT); "wf"
+                    # (the serve_quality default) keeps the finish
+                    # WEIGHTS exact via in-kernel hi/lo dots but still
+                    # rounds the mid; only "full" keeps the mid exact
+                    # too (K-concat, ~+0.6 ms — not worth it, measured).
                     from transformerupscaler_tpu.models.upsampler import (
                         split_tail_kernels,
                     )
@@ -787,7 +845,7 @@ class FastTransformer(nn.Module):
                         self.final_upscale_conv_kernel,
                         self.final_upscale_conv_bias, dt,
                         pre_kernel=pd2["kernel"], pre_bias=pd2["bias"])
-                    # hi_lo_fin "wf" ONLY under serve_quality: a
+                    # hi_lo_fin auto = "wf" ONLY under serve_quality: a
                     # separately-rounded finish kernel is a structured
                     # filter perturbation that dominated the f32-tails
                     # quality config (+0.27 dB GT with off, +0.011 with
@@ -796,10 +854,12 @@ class FastTransformer(nn.Module):
                     # and costs ~0.2 ms in-model (tools/hilo_bench.py
                     # controlled sweep: off 8.038 ms, wf 8.243, K-concat
                     # full 8.83 — the op-level ~0.05 ms estimate did not
-                    # survive scheduling). TUX_HILO_FIN still overrides.
+                    # survive scheduling). TUX_HILO_FIN still overrides
+                    # (the kernel warns when it diverges).
                     b12 = tail_finish_stream(
                         dec_d, km, bm, kf, bf, out_dtype=_tail_odt(),
-                        hi_lo_fin="wf" if quality else "off")
+                        hi_lo_fin=self.hi_lo_fin
+                        or ("wf" if quality else "off"))
                 elif fold_pre:
                     b12 = tail_macro8_stream(dec_d, kc, bc,
                                              out_dtype=_tail_odt())

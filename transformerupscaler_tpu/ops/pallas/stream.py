@@ -1076,10 +1076,14 @@ def tail_finish_stream(xt: jnp.ndarray, k_mid, b_mid, k_fin, b_fin,
     the sequential two-conv zero-pad (split_tail_kernels docstring). The
     XLA-finish split measured no win (1.78 vs 1.87 composed at x2: the
     block-8 conv-emitter finish alone costs 0.45 ms); fusing keeps the
-    mid off HBM entirely. ``hi_lo_fin`` (default on) splits the f32 mid
-    hi/lo for the finish dots — bf16*bf16 products are exact in the f32
-    accumulator, so the split form loses NOTHING vs the composed fold
-    (without it the mid's one bf16 rounding measured +0.011 dB GT).
+    mid off HBM entirely. ``hi_lo_fin`` selects the finish-dot rounding:
+    "off" rounds the f32 mid AND the f32 finish weights to bf16 (the
+    mid's single rounding measured +0.011 dB GT); "wf" (default) keeps
+    the finish WEIGHTS exact via in-kernel hi/lo dots ([hi | lo] along N
+    — bf16*bf16 products are exact in the f32 accumulator) but still
+    rounds the mid once; "full" hi/lo's the mid too (K-concat, lo*lo
+    dropped at ~2^-17) and alone loses nothing vs the composed fold —
+    at ~+0.6 ms even in the K-concat form (tools/hilo_bench.py).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1101,6 +1105,17 @@ def tail_finish_stream(xt: jnp.ndarray, k_mid, b_mid, k_fin, b_fin,
     wm = wm.astype(dt)
     env = os.environ.get("TUX_HILO_FIN")
     if env is not None:
+        if env != str(hi_lo_fin):
+            # A leftover env var from a bench session (tools/hilo_bench.py)
+            # would otherwise silently change serve_quality numerics now
+            # that fast_transformer passes a quality-dependent explicit
+            # mode.
+            import warnings
+
+            warnings.warn(
+                f"TUX_HILO_FIN={env!r} overrides the explicitly passed "
+                f"hi_lo_fin={hi_lo_fin!r} for tail_finish_stream",
+                stacklevel=2)
         hi_lo_fin = env
     if hi_lo_fin is True:
         hi_lo_fin = "full"

@@ -162,7 +162,12 @@ def _banded_on(precision=None, dtype=None) -> bool:
     0.41 ms isolated at HIGHEST) and dense on the bf16 default path
     (where the gather + extra reshape measured a net LOSS in-model,
     8.228 -> 8.442 ms — XLA fuses the dense bf16 GEMM into neighbors
-    better than the banded gather; tools/banded_bench.py)."""
+    better than the banded gather; tools/banded_bench.py).
+
+    NOTE: =0/=1 are ALL-PATHS overrides — =1 forces banding even on
+    plain bf16 ``resize()`` calls where it measured a net in-model loss.
+    They exist for A/B probing (tools/banded_bench.py), not serving
+    config; the shipped routing is the auto heuristic."""
     v = os.environ.get("TUX_BANDED_RESIZE", "auto")
     if v in ("0", "1"):
         return v == "1"
@@ -181,7 +186,11 @@ def resize(x: jnp.ndarray, out_hw: tuple[int, int], method: str = "bicubic",
     _, h, w, _ = x.shape
     oh, ow = out_hw
     dtype = x.dtype
-    banded = _banded_on()  # auto -> dense (no precision on this path)
+    # auto -> dense: plain resize() has no raised-precision context, and
+    # banding the bf16 path measured a net in-model loss (_banded_on
+    # docstring). TUX_BANDED_RESIZE=1 still force-bands this path too
+    # (documented all-paths probing override).
+    banded = _banded_on()
     if oh != h:
         bf = (_banded_factors(h, oh, method, antialias, a, _MB)
               if banded else None)
