@@ -1,10 +1,17 @@
 #!/usr/bin/env python
 """Stage-prefix deltas of the deint-native Pallas serving path (720p 2x).
 
-Each probe adds one stage; deltas attribute the frame. Mirrors the real
-_packed_forward routing (bf16, compose_tails, pallas_serve, fused2 trunk).
+Each probe adds one stage; deltas attribute the frame, and each delta
+prints the stage's ALGORITHMIC MACs and the resulting per-stage MFU
+(useful MACs / delta / 197 TF/s v5e bf16 peak — the paired trunk kernel's
+12x score inflation is deliberately NOT counted as useful work, matching
+PERFORMANCE.md's effective-MFU convention). Mirrors the real
+_packed_forward routing (bf16, compose_tails, pallas_serve, fused2
+trunk) including the round-5 default SPLIT branch-B tail
+(tail_finish_stream, hi_lo_fin=off); pass "composed" to probe the
+round-4 folded tailB instead.
 
-Usage: python tools/deint_stage_bench.py [K]
+Usage: python tools/deint_stage_bench.py [K] [composed]
 """
 
 import os
@@ -19,7 +26,8 @@ from tools.probe_lib import probe
 
 
 def main():
-    K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    nums = [a for a in sys.argv[1:] if a.isdigit()]
+    K = int(nums[0]) if nums else 10
     from transformerupscaler_tpu.models.upsampler import composed_tail_kernel
     from transformerupscaler_tpu.ops.conv import conv2d_packed_dots
     from transformerupscaler_tpu.ops.pallas.stream import (
@@ -58,6 +66,21 @@ def main():
 
     from transformerupscaler_tpu.ops.conv import conv2d_packed_dots_deint
 
+    split = "composed" not in sys.argv[1:]
+    if split:
+        from transformerupscaler_tpu.models.upsampler import (
+            split_tail_kernels,
+        )
+        from transformerupscaler_tpu.ops.pallas.stream import (
+            tail_finish_stream,
+        )
+
+        (km, bm), (kf, bf) = split_tail_kernels(
+            {k: v for k, v in p["final_upscale"].items()}, 2,
+            p["final_upscale_conv_kernel"], p["final_upscale_conv_bias"],
+            dt, pre_kernel=p["decoder_conv2"]["kernel"],
+            pre_bias=p["decoder_conv2"]["bias"])
+
     def stages(upto):
         def fn(pp, v):
             xp = v.reshape(1, 720, 640, 6)
@@ -93,7 +116,11 @@ def main():
                                       p["decoder_conv1"]["bias"], relu=True)
             if upto == 7:
                 return dd + jnp.sum(a12) * 0
-            b12 = tail_macro8_stream(dd, kc, bc)
+            if split:
+                b12 = tail_finish_stream(dd, km, bm, kf, bf,
+                                         hi_lo_fin="off")
+            else:
+                b12 = tail_macro8_stream(dd, kc, bc)
             if upto == 8:
                 return b12 + jnp.sum(a12) * 0
             outp = (a12.reshape(1, 720, 1280, 12)
@@ -103,20 +130,50 @@ def main():
 
         return fn
 
+    # Algorithmic MACs per stage at 720p x2 (HW = 720*1280). Trunk: 6
+    # blocks over 15360 padded tokens, per token 12*d^2 (qkv/proj/fc1/fc2)
+    # + 2*64*d true score/context work (win=64) — the paired kernel's
+    # inflated score dots are NOT useful work. Squash: phase-split resize
+    # matmuls, (oh*ow/r^2)*3r^2*(4-tap contraction) per axis ~ small.
+    HW = 720 * 1280
+    d, ntok, win = 192, 96 * 160 * 6, 64  # ntok = padded tokens x blocks
+    MACS = {
+        1: 3 * 3 * 3 * 64 * HW,
+        2: 3 * 3 * 64 * 64 * HW,
+        3: 5 * 5 * 64 * 12 * HW,
+        4: 64 * d * HW,
+        5: ntok * (12 * d * d + 2 * win * d),
+        6: d * 64 * HW,
+        7: 3 * 3 * 64 * 64 * HW,
+        8: ((5 * 5 * 64 * 12 + 3 * 3 * 12 * 12) if split
+            else 7 * 7 * 64 * 12) * HW,
+        9: 0,
+    }
+    PEAK = 197e12  # v5e bf16 MAC*2 FLOPs/s
+
     names = ["conv1 dots (deint out)", "+ conv2 deint", "+ tailA 5x5",
              "+ embed", "+ trunk fused2", "+ unembed+combine",
-             "+ dec conv deint", "+ tailB 7x7", "+ add/squash/clip"]
+             "+ dec conv deint",
+             "+ tailB split 5x5+fin" if split else "+ tailB 7x7",
+             "+ add/squash/clip"]
     prev = 0.0
     for i, nm in enumerate(names, 1):
         per = probe(nm, stages(i), None, x, K, log=None)
-        print(f"{nm:36s} cum {per * 1e3:7.3f} ms   delta {1e3 * (per - prev):+7.3f}",
+        delta = per - prev
+        mfu = (2 * MACS[i] / delta / PEAK * 100) if delta > 0 else 0.0
+        gmac = MACS[i] / 1e9
+        print(f"{nm:28s} cum {per * 1e3:7.3f} ms   delta "
+              f"{1e3 * delta:+7.3f}   {gmac:7.1f} GMAC   MFU {mfu:5.1f}%",
               flush=True)
         prev = per
 
     f = jax.jit(lambda pp, v: m.apply(pp, v, res_out=(1080, 1920)))
     per = probe("full model.apply", lambda pp, v: f(params, v), None, x, K,
                 log=None)
-    print(f"{'full model.apply':36s} cum {per * 1e3:7.3f} ms", flush=True)
+    tot = sum(MACS.values())
+    print(f"{'full model.apply':28s} cum {per * 1e3:7.3f} ms   "
+          f"total {tot / 1e9:.1f} GMAC   effective MFU "
+          f"{2 * tot / per / PEAK * 100:.1f}%", flush=True)
 
 
 if __name__ == "__main__":

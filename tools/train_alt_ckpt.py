@@ -32,8 +32,12 @@ def main():
 
     from transformerupscaler_tpu.train_lib import Trainer
 
+    # First 20 sorted files ONLY — the same reachable-by-training split as
+    # the shipped checkpoints (tools/eval_frames.py): indices >= 20 are the
+    # held-out quality-gate frames and must stay unseen by EVERY
+    # checkpoint, including this fixture.
     image_paths = sorted(
-        glob.glob("/root/reference/images/training_set/*.png"))[:40]
+        glob.glob("/root/reference/images/training_set/*.png"))[:20]
     assert image_paths, "training images missing"
     print(f"{len(image_paths)} source images, crop {crop}, {steps} steps",
           flush=True)
