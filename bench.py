@@ -7,15 +7,19 @@ v5e chip. Prints exactly one JSON line:
 
 Serving config (PERFORMANCE.md): compose_tails on the width-2-packed
 pipeline with the Pallas stream kernels (ops/pallas/stream.py: dots conv1,
-row-streamed conv, macro-8 tails, patch embed/unembed GEMM kernels) and
-the fused2 trunk megakernel (ops/pallas/trunk2.py), pure bf16.
+row-streamed conv, macro-8 tails, the split branch-B tail
+tail_finish_stream — the round-5 measured auto default, patch
+embed/unembed GEMM kernels) and the fused2 trunk megakernel
+(ops/pallas/trunk2.py), pure bf16.
 Quality: implementation parity is 144-160 dB vs the PyTorch reference at
-f32 on the exact path; this serving config runs at ~55 dB fidelity to that
-path, whose measured ground-truth cost equals the statistical noise floor
-of that fidelity — +0.03..+0.11 dB mean depending on the frame set,
-interior ~0 on the attribution set (tools/headline_quality.py; the floor
-law and per-config numbers are in PERFORMANCE.md's quality-gate section).
-TUX_F32_TAIL=1 raises fidelity to ~57 dB for ~0.1 ms.
+f32 on the exact path; this serving config runs at ~57 dB fidelity to
+that path, and its measured ground-truth cost on the FULL 34-frame
+held-out gate is +0.0047 dB mean (interior -0.0040; round-5 capture,
+tools/headline_quality.py --images 34) — INSIDE the <=0.05 dB north-star
+bar, so this default is the joint >=120 fps + <=0.05 dB config.
+TUX_BENCH_CONFIG=quality opts into serve_quality (f32 image boundaries:
+34-frame mean -0.0223 dB with per-frame max +0.0146 — the stricter
+worst-frame bound — at ~119.6 fps).
 Set TUX_BENCH_CONFIG=int8_residual for the int8
 residual-scope mode (+0.07 dB GT PSNR delta, tools/int8_quality.py) or
 int8_full (full-scope static int8, mean GT delta -0.02 dB); calibration
@@ -54,15 +58,15 @@ def main():
     log(f"bench device: {dev}")
 
     res_out = (1080, 1920)
-    config = os.environ.get("TUX_BENCH_CONFIG", "quality")
+    config = os.environ.get("TUX_BENCH_CONFIG", "bf16")
     key = jax.random.PRNGKey(0)
-    # Default "quality" = serve_quality mode (quality_parts default
-    # "tails"): the branch tails emit f32 so the add/squash/clip never
-    # round the image through bf16 — the joint-north-star config
-    # (>=120 fps at <=0.05 dB, BASELINE.md; GT delta measured on the
-    # FULL 34-frame held-out gate, PERFORMANCE.md round-5 section).
-    # TUX_BENCH_CONFIG=bf16 opts back into the pure-bf16 fast config
-    # (~1 fps faster, quality bar not met). HIGH/HIGHEST squash and the
+    # Default "bf16" IS the joint-north-star config as of round 5: the
+    # full 34-frame held-out gate measures its GT delta at +0.0047 dB
+    # mean (<=0.05 bar, PERFORMANCE.md round-5 section) and the driver
+    # protocol measures 128.66 fps (split branch-B tail auto default).
+    # "quality" = serve_quality (f32 image boundaries): mean -0.0223 dB
+    # with per-frame MAX +0.0146 — the belt-and-suspenders config for
+    # worst-frame bounds — at ~119.6 fps. HIGH/HIGHEST squash and the
     # exact-uint8 conv1 are opt-in parts; both measured unnecessary or
     # harmful on the bf16-trained ep-100 checkpoint
     # (models/fast_transformer.py quality_parts docstring).

@@ -40,6 +40,18 @@ def test_inference_cli(workdir):
     assert (workdir / "bicubic.jpg").exists()
 
 
+def test_inference_cli_quality_flag(workdir):
+    """--quality (serve_quality joint-north-star config) runs end-to-end:
+    implies the fast path, forces bf16 compute, produces the report."""
+    img = str(workdir / "imgs" / "image_0.png")
+    r = _run([os.path.join(REPO, "inference.py"), "--image_path", img,
+              "--model", "FastTransformer", "--scale", "2", "--quality"],
+             cwd=str(workdir))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "using bf16 compute" in r.stdout
+    assert "Model Scores:" in r.stdout
+
+
 def test_inference_cli_rejects_bad_scale(workdir):
     img = str(workdir / "imgs" / "image_0.png")
     r = _run([os.path.join(REPO, "inference.py"), "--image_path", img,
