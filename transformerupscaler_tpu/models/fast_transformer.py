@@ -814,6 +814,11 @@ class FastTransformer(nn.Module):
                     # its precision.
                     want_split = (dt == jnp.bfloat16
                                   and (scale == 4 or not quality))
+                # scale in (2,3,4) is documentation, not an exclusion:
+                # this branch requires not direct_tails, and x6's composed
+                # tails are co=108 >= 64 (direct conv, measured faster
+                # than any packed form: 30.9 vs 33.3 ms) — x6 can never
+                # reach here.
                 split_tail = (want_split and fold_pre
                               and scale in (2, 3, 4))
                 if split_tail:
