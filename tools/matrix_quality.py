@@ -62,6 +62,11 @@ def main():
     ap.add_argument("--rows", type=str, default=",".join(DEFAULT_ROWS))
     ap.add_argument("--images", type=int, default=6)
     ap.add_argument("--json", type=str, default=None)
+    ap.add_argument("--quality", action="store_true",
+                    help="serve with serve_quality (f32 image boundaries) "
+                         "— the floor-law fix for rows whose fidelity-bound "
+                         "delta exceeds the target (FastTransformer only; "
+                         "other variants ignore the field)")
     args = ap.parse_args()
 
     from PIL import Image
@@ -88,7 +93,8 @@ def main():
         res_out = (720 * scale, 1280 * scale)
         try:
             eng_exact = UpscalerEngine(model, dtype=jnp.float32)
-            eng_srv = UpscalerEngine(model, dtype=jnp.bfloat16, **SERVE_KW)
+            eng_srv = UpscalerEngine(model, dtype=jnp.bfloat16,
+                                     serve_quality=args.quality, **SERVE_KW)
             g_l, f_l, d_l = [], [], []
             for p in paths:
                 lr = load(p, (1280, 720))
@@ -102,6 +108,7 @@ def main():
                 d_l.append(g_l[-1] - psnr(y_s, gt))
             row = {
                 "model": model, "scale": scale,
+                "serve": "quality" if args.quality else "fast",
                 "frames": len(paths),
                 "psnr_exact_gt_db": round(float(np.mean(g_l)), 3),
                 "fidelity_serve_vs_exact_db": round(float(np.mean(f_l)), 2),
