@@ -249,3 +249,48 @@ def test_fast_transformer_split_tail_env_overrides_config(monkeypatch):
     monkeypatch.setenv("TUX_SPLIT_TAIL", "1")
     np.testing.assert_array_equal(
         run(get_model("FastTransformer", split_tail=False, **kw)), y_split)
+
+
+def test_fast_transformer_conv1_stream_bit_exact_and_env(monkeypatch):
+    """conv1_stream=True (ops/pallas/stream.conv1_dots_stream) is
+    bit-identical to the XLA dots conv1 in the full serving forward
+    (exact zero-padded K + same epilogue rounding), and the
+    TUX_CONV1_STREAM debug env var overrides the field both ways."""
+    import jax
+    import jax.numpy as jnp
+
+    from transformerupscaler_tpu.registry import get_model
+
+    key = jax.random.PRNGKey(7)
+    x = jax.random.uniform(key, (1, 16, 32, 3), jnp.bfloat16)
+    kw = dict(dtype=jnp.bfloat16, compose_tails=True, pallas_serve=True)
+    params = get_model("FastTransformer", **kw).init(key, x,
+                                                     upscale_factor=2)
+
+    def run(model):
+        return np.asarray(model.apply(params, x, upscale_factor=2),
+                          np.float32)
+
+    y_off = run(get_model("FastTransformer", conv1_stream=False, **kw))
+    y_on = run(get_model("FastTransformer", conv1_stream=True, **kw))
+    np.testing.assert_array_equal(y_on, y_off)
+
+    # env=1 forces the stream on a conv1_stream=False model; make the
+    # two routings distinguishable via a counter on the kernel entry.
+    import transformerupscaler_tpu.ops.pallas.stream as stream_mod
+
+    calls = []
+    orig = stream_mod.conv1_dots_stream
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(stream_mod, "conv1_dots_stream", spy)
+    monkeypatch.setenv("TUX_CONV1_STREAM", "1")
+    run(get_model("FastTransformer", conv1_stream=False, **kw))
+    assert calls, "TUX_CONV1_STREAM=1 must route to conv1_dots_stream"
+    calls.clear()
+    monkeypatch.setenv("TUX_CONV1_STREAM", "0")
+    run(get_model("FastTransformer", conv1_stream=True, **kw))
+    assert not calls, "TUX_CONV1_STREAM=0 must route to the XLA conv1"

@@ -522,3 +522,48 @@ def test_tail_finish_stream_matches_sequential(rng, kh, cm, co):
     # (exact weights, bf16 mid): the mid's rounding is the residual term.
     assert float(e_full.mean()) <= float(e_hi.mean()) * 1.01, (
         e_full.mean(), e_hi.mean())
+
+
+def test_conv1_dots_stream_matches_dots_deint(rng):
+    """Round-5 streaming conv1 (XLA tap expansion + one-dot Pallas row
+    stream) is BIT-EXACT vs the shipping conv2d_packed_dots_deint: same
+    reduction values (the j-unused taps of the (108, 512) packed weight
+    are exact zeros) and the same round-to-dt-then-bias-then-relu
+    epilogue order."""
+    from transformerupscaler_tpu.ops.conv import conv2d_packed_dots_deint
+    from transformerupscaler_tpu.ops.pallas.stream import conv1_dots_stream
+
+    x = jnp.asarray(rng.standard_normal((1, 16, 32, 6)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 64)).astype(np.float32)
+                    * 0.1)
+    b = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    for dt in (jnp.float32, jnp.bfloat16):
+        want = conv2d_packed_dots_deint(x.astype(dt), k, b, relu=True)
+        got = conv1_dots_stream(x.astype(dt), k, b, relu=True, rows=8,
+                                interpret=True)
+        assert got.dtype == want.dtype and got.shape == want.shape
+        np.testing.assert_array_equal(
+            np.asarray(got, np.float32), np.asarray(want, np.float32))
+    # rows fallback (h=16 % rows=24 != 0) and no-bias/no-relu form.
+    want = conv2d_packed_dots_deint(x, k, None)
+    got = conv1_dots_stream(x, k, None, rows=24, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_conv1_flat_stream_matches_dots_deint(rng):
+    """The archived v2 streaming conv1 (in-kernel operand assembly from
+    flat rows) — dead on real TPUs (Mosaic "unsupported shape cast",
+    ops/pallas/README.md) but kept interpret-mode correct as the
+    executable record of the closed lead."""
+    from transformerupscaler_tpu.ops.conv import conv2d_packed_dots_deint
+    from transformerupscaler_tpu.ops.pallas.stream import conv1_flat_stream
+
+    x = jnp.asarray(rng.standard_normal((1, 24, 32, 6)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 64)).astype(np.float32)
+                    * 0.1)
+    b = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    want = conv2d_packed_dots_deint(x, k, b, relu=True)
+    got = conv1_flat_stream(x, k, b, relu=True, rows=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))

@@ -174,6 +174,21 @@ class FastTransformer(nn.Module):
     # "off" on the fast path where wf measured no GT movement for ~0.2 ms).
     # "full" additionally hi/lo's the mid (K-concat, ~+0.6 ms).
     hi_lo_fin: str | None = None
+    # conv1 as [XLA tap expansion] + [one-dot Pallas row stream]
+    # (ops/pallas/stream.conv1_dots_stream): same reduction set as
+    # conv2d_packed_dots_deint (zero-padded K, f32 accumulation;
+    # op-level bit-exact at every tested size, tests/test_pallas_stream
+    # .py). None = measured auto default OFF — a REJECTION: the paired
+    # in-model A/B (tools/conv1_model_ab.py, 2 interleaved reps, TPU)
+    # measured off 7.884/7.487 ms vs stream 7.951/8.110 (rows=16) and
+    # 8.046/7.947 (rows=48) — the ~30 MB tap-expansion materialization
+    # for the Pallas boundary costs what the XLA im2col gather costs,
+    # and Mosaic cannot assemble it in-kernel from clean flat rows
+    # (lane->sublane "unsupported shape cast", conv1_flat_stream).
+    # Applies to the plain-bf16 deint conv1 only; the serve_quality
+    # exact-uint8 k_hi_lo variant keeps the XLA path.
+    # Env TUX_CONV1_STREAM=0/1 is a trace-time debug override.
+    conv1_stream: bool | None = None
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -563,8 +578,21 @@ class FastTransformer(nn.Module):
                                                pre_scale=1.0 / 255.0,
                                                out_dtype=dt)
             else:
-                f1d = conv2d_packed_dots_deint(xp, p1["kernel"].astype(dt),
-                                               p1["bias"], relu=True)
+                _c1_env = _os.environ.get("TUX_CONV1_STREAM")
+                # Auto default OFF — measured in-model rejection, see
+                # the conv1_stream field comment for the paired numbers.
+                c1_stream = (self.conv1_stream if _c1_env is None
+                             else _c1_env != "0")
+                if c1_stream:
+                    from transformerupscaler_tpu.ops.pallas.stream import (
+                        conv1_dots_stream,
+                    )
+
+                    f1d = conv1_dots_stream(xp, p1["kernel"].astype(dt),
+                                            p1["bias"], relu=True)
+                else:
+                    f1d = conv2d_packed_dots_deint(
+                        xp, p1["kernel"].astype(dt), p1["bias"], relu=True)
             if i8t and self.int8_scales is not None:
                 # Static scales: conv2 quantizes in its epilogue — int8
                 # feat, half the HBM write, no separate quant pass.

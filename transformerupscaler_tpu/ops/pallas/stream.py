@@ -1172,3 +1172,271 @@ def tail_finish_stream(xt: jnp.ndarray, k_mid, b_mid, k_fin, b_fin,
         interpret=interpret,
     )(xt, xt, xt, wm, bmp, wf, bfp)
     return out
+
+
+def conv1_im2col(xp: jnp.ndarray) -> jnp.ndarray:
+    """Width-and-row tap expansion for ``conv1_dots_stream``.
+
+    xp: (B, H, W/2, 2*cin) width-2-packed image. Returns
+    (B, H, G, 18*2cin) with G = W/8 groups and lane index
+    [dy(3), p(6), c(2cin)] — p walks the SIX packed columns 4g-1..4g+4
+    that the four j-outputs of group g collectively tap (output j reads
+    the contiguous p range [j, j+2]).
+
+    Why this exists: the XLA im2col of conv2d_packed_dots_deint
+    materializes (B, H, 4, G, 54), whose 54-lane minor dim pads to 128
+    in TPU tiled layouts — ~118 MB physical at 720p, read and written
+    once each. This layout keeps ONE copy of each tap per GROUP rather
+    than per output column (36 values per (r, g) per dy instead of
+    4x54), so K=108 <= 128 lanes: the lane padding that bloated the old
+    intermediate is absorbed by data we were padding anyway — ~30 MB
+    physical at 720p, and the kernel-side dot reads it with zero
+    in-kernel shuffles.
+    """
+    b, h, wp2, c2i = xp.shape
+    g = wp2 // 4
+    u = 4 * c2i  # flat values per group per row
+    # The group window [4g-1 .. 4g+4] x c2i is a CONTIGUOUS slice of the
+    # flattened row (width-2 packing preserves raw (w, c) order), so
+    # every piece is a pure reshape of one padded flat array — no
+    # narrow-minor intermediates for XLA to relayout. Row taps are baked
+    # in (rows +-1): no halo logic in the kernel.
+    xf = jnp.pad(xp.reshape(b, h, wp2 * c2i),
+                 ((0, 0), (1, 1), (c2i, 3 * c2i)))
+    parts = []
+    for dy in range(3):
+        r = xf[:, dy:dy + h]
+        # p in 0..3: cols 4g-1..4g+2 (flat offsets u*g .. u*g + u-1
+        # after the c2i left pad).
+        parts.append(r[:, :, :u * g].reshape(b, h, g, u))
+        # p in 4..5: cols 4g+3, 4g+4 (flat offsets u*g + u .. + u/2).
+        parts.append(r[:, :, u:u * (g + 1)].reshape(b, h, g, u)
+                     [..., :u // 2])
+    return jnp.concatenate(parts, axis=-1)
+
+
+def pack_conv1_dots(kernel: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, cin, cout) HWIO -> (18*2cin, 4*2cout) for conv1_dots_stream.
+
+    Row index matches conv1_im2col's lane order [dy, p, c]; column index
+    is [j(4), 2cout] so the kernel's one dot emits all four deint output
+    planes as aligned 128-lane slices. Taps a given j does not use stay
+    exactly zero — f32 accumulation of zeros is an identity, so the
+    reduction VALUE matches conv2d_packed_dots_deint's K=54 per-j dot.
+    """
+    from transformerupscaler_tpu.ops.conv import pack_kernel_width2
+
+    kh, kw, cin, cout = kernel.shape
+    assert kh == 3 and kw == 3, "conv1_dots_stream is 3x3-specific"
+    kp = pack_kernel_width2(kernel.astype(jnp.float32))  # (3, 3, 2cin, 2cout)
+    c2i, c2o = kp.shape[2], kp.shape[3]
+    wf = jnp.zeros((3, 6, c2i, 4, c2o), jnp.float32)
+    for j in range(4):
+        for jc in range(3):
+            # Output column j, width tap jc reads packed col 4g + (j+jc-1)
+            # = window position p = j + jc (conv2d_packed_dots_deint's
+            # t = j + jc + jmin with jmin = -1).
+            wf = wf.at[:, j + jc, :, j, :].set(kp[:, jc])
+    return wf.reshape(18 * c2i, 4 * c2o)
+
+
+def _conv1_kernel(im, w, bias, out, *, g_img, rows, k, c2o, relu):
+    dt = out.dtype
+    a = im[0].reshape(rows * g_img, k)
+    acc = jnp.dot(a, w[:, :], preferred_element_type=jnp.float32)
+    # Bit-order parity with conv2d_packed_dots_deint: round the f32
+    # accumulator to dt FIRST, then bias + relu in dt arithmetic.
+    y = acc.astype(dt) + bias[0:1, :].astype(dt)
+    if relu:
+        y = jnp.maximum(y, jnp.zeros((), dt))
+    for j in range(4):
+        out[0, :, j, :, :] = (y[:, j * c2o:(j + 1) * c2o]
+                              .reshape(rows, g_img, c2o))
+
+
+def conv1_dots_stream(xp: jnp.ndarray, kernel, bias=None,
+                      relu: bool = False, rows: int = 16,
+                      interpret: bool | None = None) -> jnp.ndarray:
+    """conv2d_packed_dots_deint as [tiny XLA tap expansion] + [one-dot
+    Pallas row stream] — the bandwidth-floor conv1.
+
+    xp: (B, H, W/2, 2*cin) packed; kernel (3, 3, cin, cout) HWIO raw.
+    Returns the deinterleave4 layout (B, H, 4, G, 2*cout), same reduction
+    set and dt rounding order as conv2d_packed_dots_deint (exact modulo
+    MXU pass splitting over the zero-padded K).
+
+    Motivation (round-5 stage budget, PERFORMANCE.md): conv1 measured
+    0.535 ms at 3.0% MFU — ~3.6x its ~0.15 ms HBM floor — because the
+    XLA im2col's (.., 54) intermediate pads to 128 lanes (~118 MB
+    physical, written + read). Here the intermediate is per-GROUP
+    (conv1_im2col, ~30 MB physical) and the kernel does one
+    (rows*G, 108) x (108, 512) MXU dot per slab, writing the 118 MB
+    deint output directly. Parity target: the conv1+conv2 encoder of
+    /root/reference/models/FastTransformer/model.py (via the packed
+    serving decomposition, ops/conv.py).
+
+    OUTCOME (round 5): ARCHIVED measured rejection — the paired
+    in-model A/B loses 0.07-0.6 ms to the XLA dots conv1
+    (tools/conv1_model_ab.py; ops/pallas/README.md has the full
+    post-mortem). Kept opt-in via the FastTransformer ``conv1_stream``
+    field / TUX_CONV1_STREAM=1.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert xp.shape[2] % 4 == 0, "width must pack to whole deint groups"
+    kh, kw, cin, cout = kernel.shape
+    w = pack_conv1_dots(kernel).astype(xp.dtype)
+    bias_v = (jnp.asarray(bias, jnp.float32) if bias is not None
+              else jnp.zeros((cout,), jnp.float32))
+    bp = jnp.tile(bias_v.reshape(1, cout), (1, 8))  # [j(4) x doubled cout]
+    return conv1_stream_call(conv1_im2col(xp), w, bp, relu=relu,
+                             rows=rows, interpret=interpret)
+
+
+def conv1_stream_call(im: jnp.ndarray, w, bp, relu: bool = False,
+                      rows: int = 16,
+                      interpret: bool | None = None) -> jnp.ndarray:
+    """The Pallas half of conv1_dots_stream: im from conv1_im2col, w from
+    pack_conv1_dots (cast to im.dtype), bp the (1, 8*cout) tiled bias.
+    Split out so tools/conv1_bench.py can pin the kernel's cost apart
+    from the tap expansion's."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    env_rows = os.environ.get("TUX_CONV1_ROWS")
+    if env_rows is not None:
+        rows = int(env_rows)
+    b, h, g_img, k = im.shape
+    if h % rows:
+        rows = next((r for r in (16, 24, 8) if h % r == 0), 8)
+    dt = im.dtype
+    c2o = w.shape[1] // 4
+    out = pl.pallas_call(
+        partial(_conv1_kernel, g_img=g_img, rows=rows, k=k, c2o=c2o,
+                relu=relu),
+        grid=(b, h // rows),
+        in_specs=[
+            pl.BlockSpec((1, rows, g_img, k), lambda nb, i: (nb, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _wspec(w), _wspec(bp),
+        ],
+        out_specs=pl.BlockSpec((1, rows, 4, g_img, c2o),
+                               lambda nb, i: (nb, i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, 4, g_img, c2o), dt),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(im, w.astype(dt), bp)
+    return out
+
+
+def _conv1_flat_kernel(cur, above, below, w, bias, out, slab, a, *,
+                       g_img, rows, u, k, c2o, relu):
+    i = pl.program_id(1)
+    n = pl.num_programs(1)
+    dt = out.dtype
+
+    slab[:] = jnp.zeros_like(slab)
+    slab[1:1 + rows] = cur[0]
+
+    # above/below are 8-row-granular blocks (the Pallas TPU sublane
+    # constraint); only one boundary row of each is used.
+    @pl.when(i > 0)
+    def _():
+        slab[0:1] = above[0, 7:8]
+
+    @pl.when(i < n - 1)
+    def _():
+        slab[1 + rows:] = below[0, 0:1]
+
+    # Lane -> (group sublane, lane) relayout of the flat rows, then six
+    # masked VMEM copies assemble the same (M, K) im2col operand that
+    # conv1_im2col builds in XLA — but at VMEM speeds, overlapped with
+    # the dots, with only the 5.6 MB flat input ever touching HBM.
+    rr = slab[:].reshape(rows + 2, g_img + 1, u)
+    s = u + u // 2  # per-dy K stride (36 for cin=3)
+    for dy in range(3):
+        base = rr[dy:dy + rows]
+        a[:, dy * s:dy * s + u] = base[:, :g_img].reshape(
+            rows * g_img, u)
+        a[:, dy * s + u:dy * s + s] = base[:, 1:g_img + 1, :u // 2] \
+            .reshape(rows * g_img, u // 2)
+    acc = jnp.dot(a[:, :], w[:, :], preferred_element_type=jnp.float32)
+    y = acc.astype(dt) + bias[0:1, :].astype(dt)
+    if relu:
+        y = jnp.maximum(y, jnp.zeros((), dt))
+    for j in range(4):
+        out[0, :, j, :, :] = (y[:, j * c2o:(j + 1) * c2o]
+                              .reshape(rows, g_img, c2o))
+
+
+def conv1_flat_stream(xp: jnp.ndarray, kernel, bias=None,
+                      relu: bool = False, rows: int = 8,
+                      interpret: bool | None = None) -> jnp.ndarray:
+    """conv1_dots_stream v2: the im2col assembly moves INTO the kernel.
+
+    v1's XLA-side conv1_im2col measured ~0 fused but ~0.33 ms when
+    materialized for the pallas boundary (the 108-lane minor dim makes
+    every store a masked sub-vreg write). Here the kernel reads the
+    flattened padded rows (B, H, W*C + pad) — minor dim ~3.9k, clean
+    tiles, 5.6 MB at 720p — and builds the (M, 108) operand in VMEM.
+    Same single K=108 dot and epilogue as v1: bit-exact vs
+    conv2d_packed_dots_deint.
+
+    DEAD ON TPU (round 5): Mosaic rejects the in-kernel lane->sublane
+    relayout `(rows, 3864) -> (rows, 161, 24)` with "infer-vector-
+    layout: unsupported shape cast" — the narrow-channel transpose
+    cannot be hidden in VMEM. Interpret-mode correct (tested); kept as
+    the executable record of why the streaming-conv1 lead is closed
+    (ops/pallas/README.md).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, wp2, c2i = xp.shape
+    assert wp2 % 4 == 0, "width must pack to whole deint groups"
+    g_img = wp2 // 4
+    if h % rows:
+        rows = next((r for r in (8, 16, 24) if h % r == 0), 8)
+    assert rows % 8 == 0, "8-row-granular halo blocks"
+    dt = xp.dtype
+    kh, kw, cin, cout = kernel.shape
+    c2o = 2 * cout
+    u = 4 * c2i
+    k = 18 * c2i
+    w = pack_conv1_dots(kernel).astype(dt)
+    bias_v = (jnp.asarray(bias, jnp.float32) if bias is not None
+              else jnp.zeros((cout,), jnp.float32))
+    bp = jnp.tile(bias_v.reshape(1, cout), (1, 8))
+    # Flat rows with one group of left pad (c2i lanes = packed col -1)
+    # and right pad to a whole (g_img + 1) * u lanes.
+    w3 = (g_img + 1) * u
+    xf = jnp.pad(xp.reshape(b, h, wp2 * c2i),
+                 ((0, 0), (0, 0), (c2i, w3 - wp2 * c2i - c2i)))
+    out = pl.pallas_call(
+        partial(_conv1_flat_kernel, g_img=g_img, rows=rows, u=u, k=k,
+                c2o=c2o, relu=relu),
+        grid=(b, h // rows),
+        in_specs=[
+            pl.BlockSpec((1, rows, w3), lambda nb, i: (nb, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, w3),
+                         lambda nb, i, nr=rows // 8:
+                         (nb, jnp.maximum(i * nr - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, w3),
+                         lambda nb, i, nr=rows // 8, last=h // 8 - 1:
+                         (nb, jnp.minimum(i * nr + nr, last), 0),
+                         memory_space=pltpu.VMEM),
+            _wspec(w), _wspec(bp),
+        ],
+        out_specs=pl.BlockSpec((1, rows, 4, g_img, c2o),
+                               lambda nb, i: (nb, i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, 4, g_img, c2o), dt),
+        scratch_shapes=[pltpu.VMEM((rows + 2, w3), dt),
+                        pltpu.VMEM((rows * g_img, k), dt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xf, xf, xf, w, bp)
+    return out
