@@ -442,6 +442,9 @@ def conv3x3_deint_stream(xd: jnp.ndarray, kernel, bias,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    env_rows = os.environ.get("TUX_CONV_ROWS")
+    if env_rows is not None:  # trace-time A/B probing override
+        rows = int(env_rows)
     b, h, _, g_img, _ = xd.shape
     if h % rows:
         rows = next((r for r in (16, 24, 8) if h % r == 0), 8)
