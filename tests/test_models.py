@@ -253,9 +253,12 @@ def test_fast_transformer_split_tail_env_overrides_config(monkeypatch):
 
 def test_fast_transformer_conv1_stream_bit_exact_and_env(monkeypatch):
     """conv1_stream=True (ops/pallas/stream.conv1_dots_stream) is
-    bit-identical to the XLA dots conv1 in the full serving forward
-    (exact zero-padded K + same epilogue rounding), and the
-    TUX_CONV1_STREAM debug env var overrides the field both ways."""
+    bit-identical to the XLA dots conv1 in the full serving forward AT
+    THIS GEOMETRY (exact zero-padded K + same epilogue rounding; at
+    other sizes XLA may tile the K=54 einsum's f32 reduction tree
+    differently, giving bf16-ulp-level diffs on ~3% of pixels —
+    measured at 240x320), and the TUX_CONV1_STREAM debug env var
+    overrides the field both ways."""
     import jax
     import jax.numpy as jnp
 
