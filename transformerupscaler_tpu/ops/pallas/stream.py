@@ -475,6 +475,16 @@ def conv3x3_deint_stream(xd: jnp.ndarray, kernel, bias,
               ).reshape(1, 128)
         in_specs.append(_wspec(qs))
         args.append(qs)
+    # A/B probing hooks for Mosaic scheduling levers (the ~2x gap over
+    # this kernel's HBM+MXU bound is DMA/compute overlap — see
+    # PERFORMANCE.md "conv2-vs-decoder asymmetry"): TUX_DIMSEM=1 marks
+    # both grid dims parallel (every row-slab is independent);
+    # TUX_INPUT_FUSION=1 lets XLA fuse producers into the operands.
+    cp_kw = {"vmem_limit_bytes": 100 * 1024 * 1024}
+    if os.environ.get("TUX_DIMSEM") == "1":
+        cp_kw["dimension_semantics"] = ("parallel", "parallel")
+    if os.environ.get("TUX_INPUT_FUSION") == "1":
+        cp_kw["allow_input_fusion"] = [True] * len(args)
     out = pl.pallas_call(
         partial(_conv_deint_kernel, g_img=g_img, rows=rows, relu=relu,
                 quant=quant),
@@ -485,8 +495,7 @@ def conv3x3_deint_stream(xd: jnp.ndarray, kernel, bias,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, 4, g_img, 128), odt),
         scratch_shapes=[pltpu.VMEM((rows + 2, 4, g_img + 2, 128), dt)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(**cp_kw),
         interpret=interpret,
     )(*args)
     return out
