@@ -19,7 +19,8 @@ tools/headline_quality.py --images 34) — INSIDE the <=0.05 dB north-star
 bar, so this default is the joint >=120 fps + <=0.05 dB config.
 TUX_BENCH_CONFIG=quality opts into serve_quality (f32 image boundaries:
 34-frame mean -0.0223 dB with per-frame max +0.0146 — the stricter
-worst-frame bound — at ~119.6 fps).
+worst-frame bound — at 120.5-121.2 fps, two protocol captures:
+BOTH shipped quality configs meet the joint north star).
 Set TUX_BENCH_CONFIG=int8_residual for the int8
 residual-scope mode (+0.07 dB GT PSNR delta, tools/int8_quality.py) or
 int8_full (full-scope static int8, mean GT delta -0.02 dB); calibration
@@ -66,7 +67,7 @@ def main():
     # protocol measures 128.66 fps (split branch-B tail auto default).
     # "quality" = serve_quality (f32 image boundaries): mean -0.0223 dB
     # with per-frame MAX +0.0146 — the belt-and-suspenders config for
-    # worst-frame bounds — at ~119.6 fps. HIGH/HIGHEST squash and the
+    # worst-frame bounds — at 120.5-121.2 fps. HIGH/HIGHEST squash and the
     # exact-uint8 conv1 are opt-in parts; both measured unnecessary or
     # harmful on the bf16-trained ep-100 checkpoint
     # (models/fast_transformer.py quality_parts docstring).
