@@ -297,3 +297,41 @@ def test_fast_transformer_conv1_stream_bit_exact_and_env(monkeypatch):
     monkeypatch.setenv("TUX_CONV1_STREAM", "0")
     run(get_model("FastTransformer", conv1_stream=True, **kw))
     assert not calls, "TUX_CONV1_STREAM=0 must route to the XLA conv1"
+
+
+def test_fast_transformer_config_interactions_smoke():
+    """Config-field INTERACTIONS (each field is covered alone above):
+    serve_quality x split_tail x conv1_stream combinations trace, run,
+    and land within the headline config's error envelope vs the exact
+    f32 path (interior; 2x the headline's MSE as the envelope)."""
+    import jax
+    import jax.numpy as jnp
+
+    from transformerupscaler_tpu.registry import get_model
+
+    key = jax.random.PRNGKey(11)
+    x = jax.random.uniform(key, (1, 16, 32, 3), jnp.float32)
+    exact = get_model("FastTransformer", dtype=jnp.float32)
+    params = exact.init(key, x, upscale_factor=2)
+    y_e = np.asarray(exact.apply(params, x, upscale_factor=2), np.float32)
+    kw = dict(dtype=jnp.bfloat16, compose_tails=True, pallas_serve=True)
+    head = get_model("FastTransformer", **kw)
+    y_h = np.asarray(head.apply(params, x.astype(jnp.bfloat16),
+                                upscale_factor=2), np.float32)
+
+    def mse(a, b, c=4):
+        return float(np.mean((a[:, c:-c, c:-c] - b[:, c:-c, c:-c]) ** 2))
+
+    envelope = 2.0 * mse(y_h, y_e) + 1e-7
+    combos = [
+        dict(serve_quality=True, split_tail=True, hi_lo_fin="wf"),
+        dict(conv1_stream=True, split_tail=True),
+        dict(serve_quality=True, conv1_stream=True, fold_pre=True),
+    ]
+    for c in combos:
+        m = get_model("FastTransformer", **kw, **c)
+        xin = x if c.get("serve_quality") else x.astype(jnp.bfloat16)
+        y = np.asarray(m.apply(params, xin, upscale_factor=2), np.float32)
+        assert y.shape == y_e.shape, c
+        assert np.isfinite(y).all(), c
+        assert mse(y, y_e) <= envelope, (c, mse(y, y_e), envelope)
