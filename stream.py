@@ -48,14 +48,16 @@ def main(args):
     # kernels + fused2 trunk) on TPU; off-TPU the Pallas kernels would run
     # in interpret mode, so fall back to the all-XLA packed path there.
     on_tpu = jax.default_backend() == "tpu"
-    pallas = (args.fast and on_tpu) or args.int8 == "tails"
+    fast = args.fast or args.quality  # --quality is a mode OF the fast path
+    pallas = (fast and on_tpu) or args.int8 == "tails"
     pipe = StreamPipeline(args.model, res_in, res_out,
                           checkpoint_dir=args.checkpoint_dir,
                           quantize=args.quantize, int8_mlp=args.int8_mlp,
                           int8_serve=args.int8 != "off",
                           int8_scope=args.int8 if args.int8 != "off" else "full",
-                          compose_tails=args.fast or args.int8 != "off",
-                          packed_serve=args.fast, pallas_serve=pallas,
+                          compose_tails=fast or args.int8 != "off",
+                          packed_serve=fast, pallas_serve=pallas,
+                          serve_quality=args.quality,
                           attn_impl="fused2" if pallas and on_tpu
                                     else "xla")
     print(f"checkpoint loaded: {pipe.from_checkpoint}")
@@ -107,4 +109,8 @@ if __name__ == "__main__":
                         help="serving fast path: composed tails on the "
                              "all-XLA width-2-packed pipeline (border-ring "
                              "deviation, see PERFORMANCE.md)")
+    parser.add_argument("--quality", action="store_true",
+                        help="serve_quality mode of the fast path (f32 "
+                             "image boundaries; worst-frame-bounded GT "
+                             "delta, PERFORMANCE.md joint gate)")
     main(parser.parse_args())

@@ -130,3 +130,29 @@ def test_two_in_flight_overlap_beats_serial_sum():
     assert stats["wall_s"] < 0.75 * serial_sum, (stats["wall_s"], serial_sum)
     # ...and the device queue really serialized (sanity: no time travel).
     assert stats["wall_s"] > stats["frames"] * d_dev * 0.9
+
+
+def test_stream_pipeline_serve_quality_mode():
+    """serve_quality in the streaming pipeline: FastTransformer gets the
+    field + the f32 input normalization (infer_lib in_dt convention);
+    other models silently no-op the kwarg."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    frames = [(rng.random((16, 32, 3)) * 255).astype(np.uint8)
+              for _ in range(3)]
+    pipe = StreamPipeline("FastTransformer", res_in=(16, 32),
+                          res_out=(32, 64), dtype=jnp.bfloat16,
+                          pallas_serve=True, compose_tails=True,
+                          packed_serve=True, serve_quality=True,
+                          load_checkpoint=False)
+    assert pipe.model.serve_quality
+    outs = []
+    stats = pipe.run(iter(frames), sink=outs.append, max_frames=2)
+    assert outs[0].shape == (32, 64, 3) and outs[0].dtype == np.uint8
+    assert stats["frames"] == 2
+    # Non-Fast models ignore the kwarg instead of erroring.
+    p2 = StreamPipeline("BicubicInterpolation", res_in=(16, 16),
+                        res_out=(32, 32), dtype=jnp.float32,
+                        serve_quality=True)
+    assert not hasattr(p2.model, "serve_quality")

@@ -59,14 +59,19 @@ class StreamPipeline:
                  bgr_out: bool = False, load_checkpoint: bool = True,
                  int8_mlp: bool = False, pallas_serve: bool = False,
                  packed_serve: bool = False, int8_serve: bool = False,
-                 int8_scope: str = "full", int8_trunk: bool = False):
+                 int8_scope: str = "full", int8_trunk: bool = False,
+                 serve_quality: bool = False):
         compose_tails = compose_tails or int8_serve  # int8 implies its gate
+        # serve_quality is a FastTransformer field (f32 image boundaries on
+        # the bf16 fast path); silently a no-op elsewhere, like infer_lib.
+        serve_quality = serve_quality and model_name == "FastTransformer"
+        extra = {"serve_quality": True} if serve_quality else {}
         self.model = get_model(model_name, dtype=dtype, attn_impl=attn_impl,
                                compose_tails=compose_tails, int8_mlp=int8_mlp,
                                pallas_serve=pallas_serve,
                                packed_serve=packed_serve,
                                int8_serve=int8_serve, int8_scope=int8_scope,
-                               int8_trunk=int8_trunk)
+                               int8_trunk=int8_trunk, **extra)
         self.model_name = model_name
         self.res_in = res_in
         self.res_out = res_out
@@ -89,12 +94,17 @@ class StreamPipeline:
             params = quantize_linear_params(params)
         self.params = params
 
+        # serve_quality consumes the UNROUNDED f32 normalization (its exact
+        # conv1 / f32 boundaries read the pre-bf16-cast image, infer_lib
+        # in_dt convention); uint8/255 in f32 is exact.
+        in_dt = jnp.float32 if serve_quality else dtype
+
         def step(p, frame_u8):
             # uint8 H2D (smallest transfer), normalize + upscale + quantize
             # back to uint8 entirely on device. The optional RGB->BGR swap for
             # cv2 display also runs on device (reference fuses it the same
             # way, app_overlay.py:60-71, 379-393).
-            xin = frame_u8.astype(dtype) / jnp.asarray(255.0, dtype)
+            xin = frame_u8.astype(in_dt) / jnp.asarray(255.0, in_dt)
             kwargs = {"res_out": res_out}
             if model_name != "BicubicInterpolation":
                 kwargs["require_ratio"] = True
