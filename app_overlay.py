@@ -98,9 +98,20 @@ def run_overlay(args, backend=None, pipe=None, chooser=None, imshow=None,
     res_out = resolutions[args.res_out]
 
     if pipe is None:
+        # --fast/--quality are TPU-framework extensions over the reference
+        # flag surface (the serving fast path / its worst-frame-bounded
+        # quality mode); getattr keeps injected Namespaces working.
+        import jax
+
+        fast = getattr(args, "fast", False) or getattr(args, "quality", False)
+        pallas = fast and jax.default_backend() == "tpu"
         pipe = StreamPipeline(args.model, res_in, res_out,
                               checkpoint_dir=args.checkpoint_dir,
-                              quantize=args.quantize, bgr_out=True)
+                              quantize=args.quantize, bgr_out=True,
+                              compose_tails=fast, packed_serve=fast,
+                              pallas_serve=pallas,
+                              serve_quality=getattr(args, "quality", False),
+                              attn_impl="fused2" if pallas else "xla")
         print(f"checkpoint loaded: {pipe.from_checkpoint}")
         print(f"compiled in {pipe.warmup():.1f}s")
 
@@ -193,4 +204,10 @@ if __name__ == "__main__":
                         help="Accepted for reference-CLI parity; jit is always on")
     parser.add_argument("--quantize", action="store_true",
                         help="Enable int8 quantization of linear layers")
+    parser.add_argument("--fast", action="store_true",
+                        help="TPU serving fast path (composed tails, packed "
+                             "pipeline; Pallas kernels on TPU)")
+    parser.add_argument("--quality", action="store_true",
+                        help="serve_quality mode of the fast path (f32 image "
+                             "boundaries, worst-frame-bounded GT delta)")
     main(parser.parse_args())

@@ -165,3 +165,40 @@ def test_run_pipelining_keeps_two_frames_in_flight():
         assert abs(int(out[0, 0, 0]) - int(frames[i][0, 0, 0])) <= 1
     assert pipe.timer.totals["capture"] > 0.0
     assert pipe.timer.totals["inference"] > 0.0
+
+
+def test_run_overlay_builds_quality_pipe():
+    """The pipe-construction branch honors --fast/--quality (TPU-framework
+    extensions): serve_quality reaches the FastTransformer pipeline; off-TPU
+    the Pallas gate stays closed (packed path only)."""
+    import app_overlay
+
+    backend = FakeBackend(size=(16, 32))
+    shown = []
+    args = argparse.Namespace(model="FastTransformer", checkpoint_dir=None,
+                              res_out="720", res_in="360", region=None,
+                              compile=False, quantize=False, fast=False,
+                              quality=True)
+    # res 360->720 is the engine's 2x; keep it tiny by capturing only the
+    # construction: patch StreamPipeline to record kwargs and inject a
+    # lightweight pipe after.
+    built = {}
+    orig = app_overlay.StreamPipeline
+
+    class Spy(orig):
+        def __init__(self, *a, **kw):
+            built.update(kw)
+            super().__init__("BicubicInterpolation", (16, 32), (32, 64),
+                             bgr_out=True, load_checkpoint=False)
+
+    app_overlay.StreamPipeline = Spy
+    try:
+        app_overlay.run_overlay(
+            args, backend=backend, chooser=lambda n: 1,
+            imshow=lambda f: shown.append(True) or True, max_frames=3)
+    finally:
+        app_overlay.StreamPipeline = orig
+    assert built.get("serve_quality") is True
+    assert built.get("compose_tails") is True and built.get("packed_serve")
+    assert built.get("pallas_serve") is False  # CPU test platform
+    assert len(shown) == 3
